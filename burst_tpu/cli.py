@@ -1,0 +1,233 @@
+"""Command-line interface, flag-compatible with the reference aligner.
+
+Mirrors /root/reference/burst.c:4902-5164 (main): same flags, same
+defaults (CAPITALIST mode, identity 0.97, N penalized). Flags that are
+pure performance tuners in the reference (-t/-c/-l) are accepted and
+recorded but do not change results, exactly as there.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from . import engine, modes
+from .alphabet import score_matrix
+from .io.fasta import parse_fasta, parse_fasta_fast
+from .io.taxonomy import Taxonomy
+from .process import process_queries, process_references
+
+
+def _usage():
+    print("burst_tpu aligner -- TPU-native BURST-compatible aligner")
+    print("usage: burst_tpu -r refs.fa -q reads.fa -o out.b6 [options]")
+    sys.exit(1)
+
+
+def parse_args(argv):
+    a = {
+        "mode": "CAPITALIST", "thres": 0.97, "z": 1, "xalpha": False,
+        "rc": False, "whitespace": False, "tax": None, "taxacut": 10,
+        "taxa_ncbi": False, "taxasuppress": False, "strict": False,
+        "ref": None, "query": None, "out": None, "accel": None,
+        "makedb": False, "dbtype": "QUICK", "db_qlen": 500,
+        "rebase": False, "rebase_amt": 500, "dedupe": False,
+        "threads": 1, "skipambig": False, "fp": False, "prepass": 0,
+        "heur": False, "quiet": False, "shards": 1,
+    }
+    i = 1
+    n = len(argv)
+
+    def need(msg):
+        nonlocal i
+        i += 1
+        if i == n or argv[i].startswith("-"):
+            print(f"ERROR: {msg}")
+            sys.exit(1)
+        return argv[i]
+
+    while i < n:
+        arg = argv[i]
+        if arg in ("--references", "-r"):
+            a["ref"] = need("--references requires filename argument")
+        elif arg in ("--queries", "-q"):
+            a["query"] = need("--queries requires filename argument")
+        elif arg in ("--output", "-o"):
+            a["out"] = need("--output requires filename argument")
+        elif arg in ("--forwardreverse", "-fr"):
+            a["rc"] = True
+        elif arg in ("--whitespace", "-w"):
+            a["whitespace"] = True
+        elif arg in ("--npenalize", "-n"):
+            a["z"] = 1
+        elif arg in ("--nwildcard", "-y"):
+            a["z"] = 0
+        elif arg in ("--xalphabet", "-x"):
+            a["xalpha"] = True
+        elif arg in ("--taxonomy", "-b"):
+            a["tax"] = need("--taxonomy requires filename argument")
+        elif arg in ("--mode", "-m"):
+            m = need("--mode requires an argument")
+            if m not in ("BEST", "ALLPATHS", "CAPITALIST", "FORAGE", "ANY"):
+                print(f"Unsupported run mode '{m}'")
+                sys.exit(1)
+            a["mode"] = m
+        elif arg in ("--makedb", "-d"):
+            a["makedb"] = True
+            if i + 1 < n and not argv[i + 1].startswith("-") and \
+                    not argv[i + 1].lstrip("+-").isdigit():
+                i += 1
+                if argv[i] in ("DNA", "RNA"):
+                    a["dbtype"] = "DNA"
+                elif argv[i] == "QUICK":
+                    a["dbtype"] = "QUICK"
+                else:
+                    print(f"Unsupported makedb mode '{argv[i]}'")
+                    sys.exit(1)
+            if i + 1 < n and not argv[i + 1].startswith("-"):
+                i += 1
+                a["db_qlen"] = int(argv[i])
+        elif arg in ("--accelerator", "-a"):
+            a["accel"] = need("--accelerator requires filename argument")
+        elif arg in ("--taxacut", "-bc"):
+            v = need("--taxacut requires numeric argument")
+            t = int(float(v)) if "." not in v else 0
+            if t < 2:
+                t = int(1.0 / (1.0 - float(v)) + 0.5)
+            if t < 2:
+                print("ERROR: taxacut must be >= 2")
+                sys.exit(1)
+            a["taxacut"] = t
+        elif arg in ("--taxa_ncbi", "-bn"):
+            a["taxa_ncbi"] = True
+        elif arg in ("--skipambig", "-sa"):
+            a["skipambig"] = True
+        elif arg in ("--taxasuppress", "-bs"):
+            a["taxasuppress"] = True
+            if i + 1 < n and not argv[i + 1].startswith("-"):
+                i += 1
+                if argv[i] == "STRICT":
+                    a["strict"] = True
+                else:
+                    print(f"ERROR: Unrecognized taxasuppress '{argv[i]}'")
+                    sys.exit(1)
+        elif arg in ("--id", "-i"):
+            t = float(need("--id requires decimal argument"))
+            if not (0.0 <= t <= 1.0):
+                print("Invalid id range [0-1]")
+                sys.exit(1)
+            a["thres"] = max(t, 0.01)
+        elif arg in ("--threads", "-t"):
+            a["threads"] = int(need("--threads requires integer argument"))
+        elif arg in ("--shear", "-s"):
+            a["rebase"] = True
+            if i + 1 < n and not argv[i + 1].startswith("-"):
+                i += 1
+                a["rebase_amt"] = int(argv[i])
+            if a["rebase_amt"] == 0:
+                a["rebase"] = False
+        elif arg in ("--unique", "-u"):
+            a["dedupe"] = True
+        elif arg in ("--fingerprint", "-f"):
+            a["fp"] = True
+        elif arg in ("--prepass", "-p"):
+            a["prepass"] = 16
+            if i + 1 < n and not argv[i + 1].startswith("-"):
+                i += 1
+                a["prepass"] = int(argv[i])
+        elif arg in ("--heuristic", "-hr"):
+            a["heur"] = True
+        elif arg == "--noprogress":
+            a["quiet"] = True
+        elif arg in ("--cache", "-c"):
+            need("--cache requires integer argument")
+        elif arg in ("--latency", "-l"):
+            need("--latency requires integer argument")
+        elif arg in ("--clustradius", "-cr"):
+            need("--clustradius requires integer argument")
+        elif arg in ("--dbpartition", "-dp"):
+            need("--dbpartition requires integer argument")
+        elif arg == "--shards":
+            a["shards"] = int(need("--shards requires integer argument"))
+        elif arg in ("--help", "-h"):
+            _usage()
+        else:
+            print(f"ERROR: Unrecognized command-line option: {arg}")
+            sys.exit(1)
+        i += 1
+    return a
+
+
+def run(a) -> int:
+    import burst_tpu.db.edx as edx
+
+    if a["makedb"]:
+        from .db.build import make_db
+        make_db(a)
+        return 0
+
+    smat = score_matrix(a["z"])
+    qh, qs = parse_fasta_fast(a["query"])
+    qd = process_queries(qh, qs, a["thres"], a["rc"],
+                         incl_whitespace=a["whitespace"],
+                         xalpha=a["xalpha"])
+    if edx.is_edx(a["ref"]):
+        rd, dshear = edx.read_edx(a["ref"], xalpha=a["xalpha"])
+        if dshear and int(np.float32(qd.max_len) / np.float32(a["thres"])) \
+                > dshear:
+            print("ERROR: DB incompatible with selected queries/identity.")
+            if not a["heur"] and not a["prepass"]:
+                return 1
+    else:
+        rh, rs = parse_fasta(a["ref"])
+        rd = process_references(
+            rh, rs, max_len_q=qd.max_len, thres=a["thres"],
+            rebase=a["rebase"], rebase_amt=a["rebase_amt"],
+            curate=1 if a["dedupe"] else 0, xalpha=a["xalpha"],
+            do_fp=a["fp"])
+
+    taxonomy = None
+    if a["tax"]:
+        taxonomy = Taxonomy.parse(a["tax"], ncbi=a["taxa_ncbi"])
+
+    if a["shards"] > 1:
+        from .parallel.mesh import compute_ed_matrix_sharded
+        ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])
+    else:
+        ed = engine.compute_ed_matrix(qd, rd, smat)
+
+    with open(a["out"], "w") as fh:
+        writer = modes.B6Writer(fh)
+        if a["mode"] == "ANY":
+            modes.report_any(ed, qd, rd, writer, smat)
+            return 0
+        juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
+        pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
+                                      a["mode"], smat)
+        if a["mode"] in ("ALLPATHS", "FORAGE"):
+            modes.report_allpaths_or_forage(
+                pods, qd, rd, writer, taxonomy,
+                forage=(a["mode"] == "FORAGE"))
+        elif a["mode"] == "BEST":
+            modes.report_best(pods, qd, rd, writer, taxonomy,
+                              a["taxasuppress"], a["strict"])
+        elif a["mode"] == "CAPITALIST":
+            modes.report_capitalist(pods, qd, rd, writer, taxonomy,
+                                    a["taxacut"], a["taxasuppress"],
+                                    a["strict"])
+    return 0
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv
+    if len(argv) < 2:
+        _usage()
+    a = parse_args(argv)
+    if not a["out"] or not a["ref"] and not a["makedb"]:
+        print("ERROR: missing required arguments")
+        return 1
+    return run(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,191 @@
+"""Alignment engine: bucketed phase-A scan + phase-B rescore -> result pods.
+
+This is the TPU-native replacement for the reference's do_alignments
+orchestrator (/root/reference/burst.c:3632-4521). Instead of the
+reference's sequential clump sweep with prefix-seek stacks, all
+(unique-query x reference-unit) pairs are evaluated in batched device
+kernels; budgets, tie selection and pod ordering are applied afterwards
+on the result matrix, which reproduces the reference's surviving pod set
+and its single-thread full-path insertion order exactly
+(pods sorted by descending (clump, query-row, lane)).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .alphabet import score_matrix
+from .kernels import myers
+from .kernels.rescore import rescore_pairs
+from .process import QueryData, RefData
+
+VECSZ = 16  # the reference's clump width; defines pod ordering only
+
+
+@dataclasses.dataclass
+class Pods:
+    """Columnar result pods (one row per surviving (query, unit) hit)."""
+    six: np.ndarray        # base unique-query index
+    juni: np.ndarray       # unibin row (fwd: six, rc: six + numUniq)
+    refpos: np.ndarray     # position in sorted/dedup unit order ("refIx")
+    ed: np.ndarray         # mismatches (total edit distance)
+    rc: np.ndarray
+    gap_q: np.ndarray
+    gap_r: np.ndarray
+    final_pos: np.ndarray
+    score: np.ndarray      # float32 identity
+
+
+def _bucket_queries(qd: QueryData):
+    """Group unibin rows by Myers word count W."""
+    buckets: dict[int, list[int]] = {}
+    for j, s in enumerate(qd.seqs):
+        buckets.setdefault(myers.words_for(len(s)), []).append(j)
+    return buckets
+
+
+def _bucket_units(rd: RefData, granularity: int = 64):
+    """Group sorted unit positions by padded tile length."""
+    buckets: dict[int, list[int]] = {}
+    for p in range(rd.tot_units):
+        ln = int(rd.lens[rd.ix_srt[p]])
+        lb = -(-max(ln, 1) // granularity) * granularity
+        buckets.setdefault(lb, []).append(p)
+    return buckets
+
+
+def compute_ed_matrix(qd: QueryData, rd: RefData,
+                      smat: np.ndarray | None = None,
+                      device_batch: int = 1 << 22) -> np.ndarray:
+    """Phase A: [numUnibins, tot_units] uint8 min-ED matrix (clipped 255)."""
+    if smat is None:
+        smat = score_matrix()
+    nj = len(qd.seqs)
+    ed = np.full((nj, rd.tot_units), 255, dtype=np.uint8)
+    qbuckets = _bucket_queries(qd)
+    ubuckets = _bucket_units(rd)
+    for W, rows in sorted(qbuckets.items()):
+        m_pad = W * 32
+        qarr = np.zeros((len(rows), m_pad), dtype=np.uint8)
+        qlens = np.zeros(len(rows), dtype=np.int64)
+        for i, j in enumerate(rows):
+            s = qd.seqs[j]
+            qarr[i, : len(s)] = s
+            qlens[i] = len(s)
+        peq = myers.build_peq(qarr, qlens, W, smat)
+        for lb, poss in sorted(ubuckets.items()):
+            lp = lb + 32
+            tiles = np.zeros((len(poss), lp), dtype=np.uint8)
+            for i, p in enumerate(poss):
+                s = rd.seqs[rd.ix_srt[p]]
+                tiles[i, : len(s)] = s
+            # chunk queries x tiles to bound device memory
+            tchunk = max(1, min(len(poss), 4096))
+            qchunk = max(1, device_batch // (lp * tchunk) or 1)
+            for q0 in range(0, len(rows), qchunk):
+                pq = peq[q0:q0 + qchunk]
+                for t0 in range(0, len(poss), tchunk):
+                    block = myers.myers_min_ed_cross(
+                        pq, tiles[t0:t0 + tchunk], W)
+                    block = np.minimum(np.asarray(block), 255).astype(np.uint8)
+                    ed[np.ix_(rows[q0:q0 + qchunk], poss[t0:t0 + tchunk])] = \
+                        block
+    return ed
+
+
+def select_pods(qd: QueryData, rd: RefData, ed: np.ndarray, mode: str):
+    """Apply budgets and tie selection; return winner (juni, refpos, ed)."""
+    nu = qd.num_uniq
+    budgets = qd.ed  # [numUniq]
+    picks_j, picks_p, picks_e = [], [], []
+    for i in range(nu):
+        rows = [i] + ([i + nu] if len(qd.seqs) > nu else [])
+        sub = ed[rows]                       # [1 or 2, U]
+        bud = int(budgets[i])
+        if mode == "FORAGE":
+            mask = sub <= bud
+        else:
+            best = int(sub.min()) if sub.size else 255
+            if best > bud:
+                continue
+            mask = sub == best
+        jj, pp = np.nonzero(mask)
+        if jj.size == 0:
+            continue
+        picks_j.append(np.array(rows, dtype=np.int64)[jj])
+        picks_p.append(pp.astype(np.int64))
+        picks_e.append(sub[jj, pp].astype(np.int64))
+    if not picks_j:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    return (np.concatenate(picks_j), np.concatenate(picks_p),
+            np.concatenate(picks_e))
+
+
+def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
+                    mode: str, smat: np.ndarray | None = None) -> Pods:
+    """Phase B: exact stats for winner pairs, then reference pod ordering."""
+    if smat is None:
+        smat = score_matrix()
+    n = len(juni)
+    gap_q = np.zeros(n, np.int64)
+    gap_r = np.zeros(n, np.int64)
+    fpos = np.zeros(n, np.int64)
+    score = np.zeros(n, np.float32)
+    out_ed = np.array(eds, dtype=np.int64)
+
+    budgets = qd.ed
+    # rescore bound: the pair's own ED (tie modes) or the query budget
+    # (FORAGE/ANY explore all valid refs: burst.c:4437 'min = Emac')
+    if mode in ("FORAGE", "ANY"):
+        bound = budgets[qd.six[juni]]
+    else:
+        bound = out_ed
+
+    # bucket pairs like phase A
+    order = np.arange(n)
+    qws = np.array([myers.words_for(len(qd.seqs[j])) for j in juni],
+                   dtype=np.int64) if n else np.zeros(0, np.int64)
+    ulens = np.array([int(rd.lens[rd.ix_srt[p]]) for p in refpos],
+                     dtype=np.int64) if n else np.zeros(0, np.int64)
+    lbs = -(-np.maximum(ulens, 1) // 64) * 64
+    for W in np.unique(qws):
+        for lb in np.unique(lbs[qws == W]):
+            sel = order[(qws == W) & (lbs == lb)]
+            m_pad = int(W) * 32
+            lp = int(lb) + m_pad
+            lp = -(-lp // 64) * 64
+            qs = np.zeros((len(sel), m_pad), np.uint8)
+            ts = np.zeros((len(sel), lp), np.uint8)
+            qlens = np.zeros(len(sel), np.int64)
+            for i, ix in enumerate(sel):
+                s = qd.seqs[juni[ix]]
+                qs[i, : len(s)] = s
+                qlens[i] = len(s)
+                u = rd.seqs[rd.ix_srt[refpos[ix]]]
+                ts[i, : len(u)] = u
+            e, gq, gr, fp, sc = rescore_pairs(
+                qs, qlens, ts, bound[sel].astype(np.int64), int(W), smat)
+            gap_q[sel] = gq
+            gap_r[sel] = gr
+            fpos[sel] = fp
+            score[sel] = sc
+            out_ed[sel] = e
+
+    # Reference pod ordering: single-thread full-path insertion order is
+    # (clump asc, query-row asc, lane asc) head-inserted, i.e. iteration
+    # order (clump desc, query-row desc, lane desc) (burst.c:4343-4477).
+    clump = refpos // VECSZ
+    lane = refpos % VECSZ
+    srt = np.lexsort((-lane, -juni, -clump))
+    return Pods(six=qd.six[juni][srt], juni=juni[srt], refpos=refpos[srt],
+                ed=out_ed[srt], rc=qd.rc[juni][srt], gap_q=gap_q[srt],
+                gap_r=gap_r[srt], final_pos=fpos[srt], score=score[srt])
+
+
+def align(qd: QueryData, rd: RefData, mode: str,
+          smat: np.ndarray | None = None):
+    ed = compute_ed_matrix(qd, rd, smat)
+    juni, refpos, eds = select_pods(qd, rd, ed, mode)
+    return rescore_winners(qd, rd, juni, refpos, eds, mode, smat)

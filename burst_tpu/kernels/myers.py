@@ -147,6 +147,71 @@ def myers_min_ed(peq: jnp.ndarray, tiles: jnp.ndarray, W: int) -> jnp.ndarray:
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("W",))
+def myers_min_ed_cross(peq: jnp.ndarray, tiles: jnp.ndarray, W: int
+                       ) -> jnp.ndarray:
+    """Minimum glocal ED for every (query, tile) combination.
+
+    peq:   [Q, 16, W] uint32
+    tiles: [T, Lp] uint8 (trailing pads as in myers_min_ed)
+    Returns [Q, T] int32. This is the full-database scan path -- the
+    TPU-native analog of the reference's clump sweep (burst.c:4343-4484):
+    the VPU lane grid is (query x tile) and the scan walks tile columns.
+    """
+    Q = peq.shape[0]
+    T = tiles.shape[0]
+    peq_t = jnp.transpose(peq, (1, 2, 0))[:, :, :, None]     # [16, W, Q, 1]
+    cols = tiles.T.astype(jnp.int32)                         # [Lp, T]
+
+    ones = jnp.full((W, Q, T), 0xFFFFFFFF, dtype=jnp.uint32)
+    zero = jnp.zeros((W, Q, T), dtype=jnp.uint32)
+    init = (ones, zero, jnp.full((Q, T), W * WORD, jnp.int32),
+            jnp.full((Q, T), W * WORD, jnp.int32))
+    one = jnp.uint32(1)
+
+    def step(state, col):
+        VP, VN, score, best = state
+        v = peq_t                                            # [16, W, Q, 1]
+        for k in range(4):
+            bit = ((col >> k) & 1).astype(bool)              # [T]
+            v = jnp.where(bit[None, None, None, :], v[1::2], v[0::2])
+        Eq = v[0]                                            # [W, Q, T]
+        Xv = Eq | VN
+        sums = []
+        carry = jnp.zeros((Q, T), jnp.uint32)
+        for w in range(W):
+            a = Eq[w] & VP[w]
+            s1 = a + VP[w]
+            c1 = (s1 < a).astype(jnp.uint32)
+            s2 = s1 + carry
+            c2 = (s2 < s1).astype(jnp.uint32)
+            sums.append(s2)
+            carry = c1 | c2
+        sums = jnp.stack(sums)
+        Xh = (sums ^ VP) | Eq
+        Ph = VN | ~(Xh | VP)
+        Mh = VP & Xh
+        score = score + (Ph[W - 1] >> 31).astype(jnp.int32) \
+                      - (Mh[W - 1] >> 31).astype(jnp.int32)
+        best = jnp.minimum(best, score)
+        ph_list, mh_list = [], []
+        pc = jnp.zeros((Q, T), jnp.uint32)
+        mc = jnp.zeros((Q, T), jnp.uint32)
+        for w in range(W):
+            ph_list.append((Ph[w] << one) | pc)
+            mh_list.append((Mh[w] << one) | mc)
+            pc = Ph[w] >> 31
+            mc = Mh[w] >> 31
+        Phs = jnp.stack(ph_list)
+        Mhs = jnp.stack(mh_list)
+        VP = Mhs | ~(Xv | Phs)
+        VN = Phs & Xv
+        return (VP, VN, score, best), None
+
+    (_, _, _, best), _ = jax.lax.scan(step, init, cols)
+    return best
+
+
 def min_ed_numpy_reference(q: np.ndarray, r: np.ndarray, W: int | None = None,
                            smat: np.ndarray | None = None) -> int:
     """Convenience single-pair wrapper (host) used in tests."""

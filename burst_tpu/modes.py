@@ -1,0 +1,407 @@
+"""Reporting modes: blast6 emission with the reference's exact semantics.
+
+Mirrors /root/reference/burst.c:4523-4892 (ALLPATHS, FORAGE, CAPITALIST
+with LCA interpolation, BEST) and the inline ANY printer (:4457-4475).
+All row ordering, dupe-suppression windows, tie rules, coordinate
+arithmetic (including uint32 wraparound printed as %d), and float
+formatting reproduce the reference byte-for-byte in single-thread
+full-path order.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .engine import Pods, VECSZ
+from .process import QueryData, RefData
+
+# Intra-taxonomic identity cutoffs (burst.c:264-266)
+TAXLEVELS_STRICT = [.65, .75, .78, .82, .86, .94, .98, .995]
+TAXLEVELS_LENIENT = [.55, .70, .75, .80, .84, .93, .97, .985]
+
+
+def _u32(v: int) -> int:
+    return int(v) & 0xFFFFFFFF
+
+
+def _i32(v: int) -> int:
+    v = _u32(v)
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _fmt_score(score_f32: np.float32) -> str:
+    # reference: float score * int 100 -> float multiply, then %f (double)
+    v = np.float32(score_f32) * np.float32(100)
+    return "%f" % float(v)
+
+
+class B6Writer:
+    def __init__(self, fh):
+        self.fh = fh
+
+    def row(self, qhead: bytes, rhead: bytes, score, al_len, num_mis,
+            num_gap, qlen, st_ix, ed_ix, mism, last, tax: bytes | None):
+        cols = [qhead.decode("latin-1"), rhead.decode("latin-1"),
+                _fmt_score(score), str(_u32(al_len)), str(_u32(num_mis)),
+                str(_u32(num_gap)), "1", str(_u32(qlen)),
+                str(_i32(st_ix)), str(_u32(ed_ix)), str(_u32(mism)),
+                str(last)]
+        if tax is not None:
+            cols.append(tax.decode("latin-1"))
+        self.fh.write("\t".join(cols) + "\n")
+
+
+def _coords(rc: bool, final_pos: int, qlen: int, gap_r: int, m_off: int):
+    st = final_pos - qlen + gap_r + m_off
+    edx = final_pos + m_off
+    if rc:
+        st, edx = edx, st
+    return st, edx
+
+
+def _m_off(rd: RefData, rix: int) -> int:
+    return int(rd.start[rix]) if rd.start is not None else 0
+
+
+def _expand_refs(rd: RefData, refpos: int):
+    """Expand a pod's sorted position into original unit indices.
+
+    With deduplicated references every group member is reported
+    (burst.c:4602-4616); otherwise just the sorted unit itself.
+    """
+    if rd.dedup_ix is not None:
+        a, b = int(rd.dedup_ix[refpos]), int(rd.dedup_ix[refpos + 1])
+        return [int(rd.tmp_rix[k]) for k in range(a, b)]
+    return [int(rd.ix_srt[refpos])]
+
+
+class _DupeHunt:
+    """(mapped ref, start +/- qlen/2) duplicate suppression
+    (burst.c:4563-4570)."""
+
+    def __init__(self):
+        self.refs: list[int] = []
+        self.starts: list[int] = []
+
+    def seen(self, mapped: int, st_ix: int, ql2: int) -> bool:
+        st_ix = _u32(st_ix)
+        for r, s in zip(self.refs, self.starts):
+            if r == mapped and _u32(s + ql2) > st_ix and s < _u32(st_ix + ql2):
+                return True
+        self.refs.append(mapped)
+        self.starts.append(st_ix)
+        return False
+
+
+def _dupe_start(rc: bool, final_pos: int, qlen: int, gap_r: int,
+                m_off: int) -> int:
+    # DUPE_HUNT uses rc ? finalPos + mOff : finalPos - qlen + gapR + mOff
+    return _u32(final_pos + m_off if rc
+                else final_pos - qlen + gap_r + m_off)
+
+
+def _pods_by_query(pods: Pods, num_uniq: int):
+    by_q: list[list[int]] = [[] for _ in range(num_uniq)]
+    for ix in range(len(pods.six)):
+        by_q[int(pods.six[ix])].append(ix)
+    return by_q
+
+
+def report_allpaths_or_forage(pods: Pods, qd: QueryData, rd: RefData,
+                              writer: B6Writer, taxonomy=None,
+                              forage: bool = False):
+    by_q = _pods_by_query(pods, qd.num_uniq)
+    for i in range(qd.num_uniq):
+        lst = by_q[i]
+        if not lst:
+            continue
+        qlen = int(qd.lens[i])
+        ql2 = qlen >> 1
+        if not forage:
+            bm = min(int(pods.ed[ix]) for ix in lst)
+            lst = [ix for ix in lst if int(pods.ed[ix]) == bm]
+            # reference also requires rp->score nonzero for ALLPATHS
+            # (burst.c:4598): guard the whole emission on the head pod
+            if pods.score[lst[0]] == 0:
+                continue
+        hunt = _DupeHunt()
+        emit: list[tuple[int, int]] = []       # (pod ix, rix)
+        for ix in lst:
+            for rix in _expand_refs(rd, int(pods.refpos[ix])):
+                mo = _m_off(rd, rix)
+                st = _dupe_start(bool(pods.rc[ix]), int(pods.final_pos[ix]),
+                                 qlen, int(pods.gap_r[ix]), mo)
+                if hunt.seen(int(rd.ref_map[rix]), st, ql2):
+                    continue
+                emit.append((ix, rix))
+        for j in range(int(qd.offset[i]), int(qd.offset[i + 1])):
+            for ix, rix in emit:
+                mo = _m_off(rd, rix)
+                gq, gr = int(pods.gap_q[ix]), int(pods.gap_r[ix])
+                num_gap = gq + gr
+                st = _u32(pods.final_pos[ix] + mo) if pods.rc[ix] else \
+                    _u32(pods.final_pos[ix] - qlen + gr + mo)
+                edx = _u32(pods.final_pos[ix] - qlen + gr + mo) \
+                    if pods.rc[ix] else _u32(pods.final_pos[ix] + mo)
+                tax = taxonomy.lookup(rd.heads[rix]) if taxonomy else None
+                writer.row(qd.heads_sorted[j], rd.heads[rix], pods.score[ix],
+                           qlen + num_gap, int(pods.ed[ix]) - num_gap,
+                           num_gap, qlen, st, edx, int(pods.ed[ix]), i, tax)
+
+
+def _suppress_best(tax: bytes, score: float, taxlevels) -> bytes:
+    """Identity-based taxonomy suppression, BEST variant
+    (burst.c:4874-4885). lm >= 8 (perfect scores) leaves the taxon whole;
+    the reference reads past its 8-entry table there, but real taxonomies
+    have <= 8 levels so no truncation occurs either way."""
+    lm = 0
+    while lm < 8 and taxlevels[lm] < score:
+        lm += 1
+    if lm == 0:
+        return b""
+    if lm >= 8:
+        return tax
+    parts = tax.split(b";")
+    if len(parts) <= lm:
+        return tax
+    return b";".join(parts[:lm])
+
+
+def report_best(pods: Pods, qd: QueryData, rd: RefData, writer: B6Writer,
+                taxonomy=None, taxasuppress=False, strict=False):
+    by_q = _pods_by_query(pods, qd.num_uniq)
+    taxlv = TAXLEVELS_STRICT if strict else TAXLEVELS_LENIENT
+    for i in range(qd.num_uniq):
+        lst = by_q[i]
+        if not lst:
+            continue
+        best = lst[0]
+        for ix in lst[1:]:
+            if ((pods.ed[ix] < pods.ed[best]) or
+                (pods.ed[ix] == pods.ed[best] and
+                 pods.score[ix] > pods.score[best]) or
+                (pods.ed[ix] == pods.ed[best] and
+                 pods.score[ix] == pods.score[best] and
+                 int(rd.ix_srt[pods.refpos[ix]]) <
+                 int(rd.ix_srt[pods.refpos[best]]))):
+                best = ix
+        ix = best
+        rix = int(rd.ix_srt[pods.refpos[ix]])
+        qlen = int(qd.lens[i])
+        gq, gr = int(pods.gap_q[ix]), int(pods.gap_r[ix])
+        num_gap = gq + gr
+        mo = _m_off(rd, rix)
+        st, edx = _coords(bool(pods.rc[ix]), int(pods.final_pos[ix]),
+                          qlen, gr, mo)
+        tax = None
+        if taxonomy:
+            tax = taxonomy.lookup(rd.heads[rix])
+            if taxasuppress:
+                tax = _suppress_best(tax, float(pods.score[ix]), taxlv)
+        for j in range(int(qd.offset[i]), int(qd.offset[i + 1])):
+            writer.row(qd.heads_sorted[j], rd.heads[rix], pods.score[ix],
+                       qlen + num_gap, int(pods.ed[ix]) - num_gap, num_gap,
+                       qlen, st, edx, int(pods.ed[ix]), i, tax)
+
+
+def report_capitalist(pods: Pods, qd: QueryData, rd: RefData,
+                      writer: B6Writer, taxonomy=None, taxacut: int = 10,
+                      taxasuppress=False, strict=False):
+    by_q = _pods_by_query(pods, qd.num_uniq)
+    taxlv = TAXLEVELS_STRICT if strict else TAXLEVELS_LENIENT
+    n_bins = int(rd.ref_map.max()) + 1 if len(rd.ref_map) else 1
+    counts = np.zeros(n_bins, dtype=np.int64)
+
+    # Pass 1-2: tally votes over best-ED pods with dupe suppression
+    for i in range(qd.num_uniq):
+        lst = by_q[i]
+        if not lst:
+            continue
+        bm = min(int(pods.ed[ix]) for ix in lst)
+        qlen = int(qd.lens[i])
+        ql2 = qlen >> 1
+        hunt = _DupeHunt()
+        for ix in lst:
+            if int(pods.ed[ix]) != bm:
+                continue
+            for rix in _expand_refs(rd, int(pods.refpos[ix])):
+                mo = _m_off(rd, rix)
+                st = _dupe_start(bool(pods.rc[ix]), int(pods.final_pos[ix]),
+                                 qlen, int(pods.gap_r[ix]), mo)
+                if hunt.seen(int(rd.ref_map[rix]), st, ql2):
+                    continue
+                counts[int(rd.ref_map[rix])] += 1
+
+    # Pass 3: per query pick max-vote ref among ties, interpolate taxonomy
+    for i in range(qd.num_uniq):
+        lst = by_q[i]
+        if not lst:
+            continue
+        qlen = int(qd.lens[i])
+        ql2 = qlen >> 1
+        head_ed = int(pods.ed[lst[0]])
+        hunt = _DupeHunt()
+        best_ix = None
+        best_map = best_rix = -1
+        taxa: list[bytes] = []
+        best_score = np.float32(-1.0)
+        for ix in lst:
+            if int(pods.ed[ix]) > head_ed:
+                continue
+            for rix in _expand_refs(rd, int(pods.refpos[ix])):
+                mo = _m_off(rd, rix)
+                st = _dupe_start(bool(pods.rc[ix]), int(pods.final_pos[ix]),
+                                 qlen, int(pods.gap_r[ix]), mo)
+                mapped = int(rd.ref_map[rix])
+                if hunt.seen(mapped, st, ql2):
+                    continue
+                if taxonomy:
+                    taxa.append(taxonomy.lookup(rd.heads[rix]))
+                    if pods.score[ix] > best_score:
+                        best_score = pods.score[ix]
+                if (best_ix is None or ix == best_ix or
+                        counts[mapped] > counts[best_map] or
+                        (counts[mapped] == counts[best_map] and
+                         mapped < best_map)):
+                    best_ix, best_map, best_rix = ix, mapped, rix
+        if best_ix is None:
+            continue
+        tax = None
+        if taxonomy:
+            tax, lv = _lca(taxa, taxacut)
+            if taxasuppress:
+                # burst.c:4820-4828: lm bounded by the LCA level lv (which
+                # the shortcut paths leave "infinite"); lm >= 8 behaves as
+                # no suppression (see _suppress_best note)
+                lm = 0
+                while lm < lv and lm < 8 and taxlv[lm] < float(best_score):
+                    lm += 1
+                if lm == 0:
+                    tax = b""
+                elif lm < lv and lm < 8:
+                    parts = tax.split(b";")
+                    if len(parts) > lm:
+                        tax = b";".join(parts[:lm])
+        ix = best_ix
+        rix = best_rix
+        gq, gr = int(pods.gap_q[ix]), int(pods.gap_r[ix])
+        num_gap = gq + gr
+        mo = _m_off(rd, rix)
+        st, edx = _coords(bool(pods.rc[ix]), int(pods.final_pos[ix]),
+                          qlen, gr, mo)
+        for j in range(int(qd.offset[i]), int(qd.offset[i + 1])):
+            writer.row(qd.heads_sorted[j], rd.heads[rix], pods.score[ix],
+                       qlen + num_gap, int(pods.ed[ix]) - num_gap, num_gap,
+                       qlen, st, edx, int(pods.ed[ix]), i, tax)
+
+
+def _lca(taxa: list[bytes], taxacut: int):
+    """LCA with TAXACUT discord tolerance (burst.c:4781-4818).
+
+    Returns (taxon, lv) where lv is the kept level count; the shortcut
+    paths (single taxon / zero agreement) return lv = 2**30, matching the
+    reference's uninitialized lv = (uint32_t)-1.
+    """
+    tix = len(taxa)
+    if tix == 1:
+        return taxa[0], 1 << 30
+    taxa = sorted(taxa)
+    div = [0] * tix
+    maxdiv = 0
+    for z in range(1, tix):
+        a, b = taxa[z - 1], taxa[z]
+        d = 0
+        x = 0
+        ml = min(len(a), len(b))
+        while x < ml and a[x] == b[x]:
+            if a[x] == 0x3B:  # ';'
+                d += 1
+            x += 1
+        if x == len(a):
+            d += 1  # reference counts full-prefix strings as one deeper
+        div[z] = d
+        maxdiv = max(maxdiv, d)
+    if maxdiv == 0:
+        return b"", 1 << 30
+    cutoff = tix - tix // taxacut
+    st, ed = 0, tix
+    lv = 1
+    while lv <= maxdiv:
+        accum = 1
+        z = st + 1
+        while z < ed:
+            if div[z] >= lv:
+                accum += 1
+            elif accum >= cutoff:
+                ed = z
+                break
+            else:
+                accum = 1
+                st = z
+            z += 1
+        if accum < cutoff:
+            break
+        cutoff = accum - accum // taxacut
+        lv += 1
+    if ed:
+        ed -= 1
+    lv -= 1
+    # copy taxa[ed] up to (but excluding) the lv-th semicolon
+    s = 0
+    out = bytearray()
+    t = taxa[ed]
+    for ch in t:
+        if ch == 0x3B:
+            s += 1
+            if s >= lv:
+                break
+        out.append(ch)
+    if lv <= 0:
+        out = bytearray()
+    return bytes(out), lv
+
+
+def report_any(ed_matrix: np.ndarray, qd: QueryData, rd: RefData,
+               writer: B6Writer, smat=None):
+    """ANY mode: first valid hit per query in (clump asc, row asc, lane asc)
+    scan order; realtime inline printing (burst.c:4457-4475)."""
+    from .engine import rescore_winners
+
+    nu = qd.num_uniq
+    hits = []  # (clump, juni, lane, refpos)
+    for i in range(nu):
+        rows = [i] + ([i + nu] if len(qd.seqs) > nu else [])
+        bud = int(qd.ed[i])
+        found = None
+        for p in range(rd.tot_units):
+            for j in rows:
+                if ed_matrix[j, p] <= bud:
+                    found = (p // VECSZ, j, p % VECSZ, p)
+                    break
+            if found:
+                break
+        if found:
+            hits.append(found)
+    hits.sort(key=lambda h: (h[0], h[1], h[2]))
+    if not hits:
+        return
+    juni = np.array([h[1] for h in hits], dtype=np.int64)
+    refpos = np.array([h[3] for h in hits], dtype=np.int64)
+    eds = np.array([ed_matrix[h[1], h[3]] for h in hits], dtype=np.int64)
+    pods = rescore_winners(qd, rd, juni, refpos, eds, "ANY", smat)
+    # restore scan order (rescore_winners re-sorts into pod order)
+    order = np.lexsort((pods.refpos % VECSZ, pods.juni,
+                        pods.refpos // VECSZ))
+    for ix in order:
+        i = int(pods.six[ix])
+        qlen = int(qd.lens[i])
+        rix = int(rd.ix_srt[pods.refpos[ix]])
+        gq, gr = int(pods.gap_q[ix]), int(pods.gap_r[ix])
+        num_gap = gq + gr
+        mo = _m_off(rd, rix)
+        st, edx = _coords(bool(pods.rc[ix]), int(pods.final_pos[ix]),
+                          qlen, gr, mo)
+        for j in range(int(qd.offset[i]), int(qd.offset[i + 1])):
+            writer.row(qd.heads_sorted[j], rd.heads[rix], pods.score[ix],
+                       qlen + num_gap, int(pods.ed[ix]) - num_gap, num_gap,
+                       qlen, st, edx, int(pods.ed[ix]),
+                       int(j > qd.offset[i]), None)

@@ -1,0 +1,66 @@
+"""Golden byte-for-byte comparison vs the reference binary, direct -r/-q."""
+import numpy as np
+import pytest
+
+from . import golden
+
+
+@pytest.fixture(scope="module")
+def smallset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("direct")
+    rng = np.random.default_rng(1234)
+    refs = golden.make_refs(rng, 24, lo=150, hi=380)
+    reads = golden.make_reads(rng, refs, 60, read_len=100, max_err=3)
+    rfa = str(d / "refs.fa")
+    qfa = str(d / "reads.fa")
+    golden.write_fasta(rfa, refs)
+    golden.write_fasta(qfa, reads)
+    return d, rfa, qfa
+
+
+def _compare(d, rfa, qfa, mode, extra=(), extra_ours=None, exact=True):
+    ob6 = str(d / f"oracle_{mode}{len(extra)}.b6")
+    mb6 = str(d / f"ours_{mode}{len(extra)}.b6")
+    res = golden.run_oracle(["-r", rfa, "-q", qfa, "-o", ob6,
+                             "-m", mode, *extra])
+    assert res.returncode == 0, res.stderr + res.stdout
+    golden.run_ours(["-r", rfa, "-q", qfa, "-o", mb6, "-m", mode,
+                     *(extra_ours if extra_ours is not None else extra)])
+    if exact:
+        diff = golden.diff_files(ob6, mb6)
+        assert diff is None, diff
+    else:
+        assert golden.sort_lines(ob6) == golden.sort_lines(mb6)
+
+
+def test_best_mode(smallset):
+    _compare(*smallset, "BEST")
+
+
+def test_best_mode_id90(smallset):
+    _compare(*smallset, "BEST", extra=("-i", "0.90"))
+
+
+def test_allpaths_mode(smallset):
+    _compare(*smallset, "ALLPATHS")
+
+
+def test_forage_mode(smallset):
+    _compare(*smallset, "FORAGE", extra=("-i", "0.93"))
+
+
+def test_best_mode_rc(smallset):
+    d, rfa, qfa = smallset
+    rng = np.random.default_rng(77)
+    refs = golden.make_refs(rng, 12, lo=200, hi=300, prefix="rcref")
+    reads = golden.make_reads(rng, refs, 40, read_len=90, max_err=2,
+                              rc_frac=0.5, prefix="rcread")
+    rfa2 = str(d / "rc_refs.fa")
+    qfa2 = str(d / "rc_reads.fa")
+    golden.write_fasta(rfa2, refs)
+    golden.write_fasta(qfa2, reads)
+    _compare(d, rfa2, qfa2, "BEST", extra=("-fr",))
+
+
+def test_capitalist_mode_notax(smallset):
+    _compare(*smallset, "CAPITALIST")
