@@ -55,9 +55,12 @@ def _bucket_units(rd: RefData, granularity: int = 64):
     return buckets
 
 
+QCHUNK = 2048   # canonical query-block height (fixed shapes -> one compile)
+TCHUNK = 512    # canonical tile-block width
+
+
 def compute_ed_matrix(qd: QueryData, rd: RefData,
-                      smat: np.ndarray | None = None,
-                      device_batch: int = 1 << 22) -> np.ndarray:
+                      smat: np.ndarray | None = None) -> np.ndarray:
     """Phase A: [numUnibins, tot_units] uint8 min-ED matrix (clipped 255)."""
     if smat is None:
         smat = score_matrix()
@@ -80,18 +83,35 @@ def compute_ed_matrix(qd: QueryData, rd: RefData,
             for i, p in enumerate(poss):
                 s = rd.seqs[rd.ix_srt[p]]
                 tiles[i, : len(s)] = s
-            # chunk queries x tiles to bound device memory
-            tchunk = max(1, min(len(poss), 4096))
-            qchunk = max(1, device_batch // (lp * tchunk) or 1)
+            qchunk = min(QCHUNK, _pow2_ceil(len(rows)))
+            tchunk = min(TCHUNK, _pow2_ceil(len(poss)))
             for q0 in range(0, len(rows), qchunk):
-                pq = peq[q0:q0 + qchunk]
+                pq = _pad_rows(peq[q0:q0 + qchunk], qchunk)
                 for t0 in range(0, len(poss), tchunk):
-                    block = myers.myers_min_ed_cross(
-                        pq, tiles[t0:t0 + tchunk], W)
+                    tb = _pad_rows(tiles[t0:t0 + tchunk], tchunk)
+                    block = myers.myers_min_ed_cross(pq, tb, W)
                     block = np.minimum(np.asarray(block), 255).astype(np.uint8)
-                    ed[np.ix_(rows[q0:q0 + qchunk], poss[t0:t0 + tchunk])] = \
-                        block
+                    nq = min(qchunk, len(rows) - q0)
+                    nt = min(tchunk, len(poss) - t0)
+                    ed[np.ix_(rows[q0:q0 + nq], poss[t0:t0 + nt])] = \
+                        block[:nq, :nt]
     return ed
+
+
+def _pow2_ceil(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad the leading dim to exactly n rows (canonical kernel shapes)."""
+    if a.shape[0] == n:
+        return a
+    out = np.zeros((n,) + a.shape[1:], dtype=a.dtype)
+    out[: a.shape[0]] = a
+    return out
 
 
 def select_pods(qd: QueryData, rd: RefData, ed: np.ndarray, mode: str):
@@ -156,22 +176,29 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
             m_pad = int(W) * 32
             lp = int(lb) + m_pad
             lp = -(-lp // 64) * 64
-            qs = np.zeros((len(sel), m_pad), np.uint8)
-            ts = np.zeros((len(sel), lp), np.uint8)
-            qlens = np.zeros(len(sel), np.int64)
-            for i, ix in enumerate(sel):
-                s = qd.seqs[juni[ix]]
-                qs[i, : len(s)] = s
-                qlens[i] = len(s)
-                u = rd.seqs[rd.ix_srt[refpos[ix]]]
-                ts[i, : len(u)] = u
-            e, gq, gr, fp, sc = rescore_pairs(
-                qs, qlens, ts, bound[sel].astype(np.int64), int(W), smat)
-            gap_q[sel] = gq
-            gap_r[sel] = gr
-            fpos[sel] = fp
-            score[sel] = sc
-            out_ed[sel] = e
+            # canonical batch height: pow2-padded, chunked at QCHUNK
+            pchunk = min(QCHUNK, _pow2_ceil(len(sel)))
+            for s0 in range(0, len(sel), pchunk):
+                part = sel[s0:s0 + pchunk]
+                qs = np.zeros((pchunk, m_pad), np.uint8)
+                ts = np.zeros((pchunk, lp), np.uint8)
+                qlens = np.full(pchunk, 2, np.int64)  # dummies stay valid
+                for i, ix in enumerate(part):
+                    s = qd.seqs[juni[ix]]
+                    qs[i, : len(s)] = s
+                    qlens[i] = len(s)
+                    u = rd.seqs[rd.ix_srt[refpos[ix]]]
+                    ts[i, : len(u)] = u
+                bnd = np.zeros(pchunk, np.int64)
+                bnd[: len(part)] = bound[part]
+                e, gq, gr, fp, sc = rescore_pairs(
+                    qs, qlens, ts, bnd, int(W), smat)
+                n = len(part)
+                gap_q[part] = gq[:n]
+                gap_r[part] = gr[:n]
+                fpos[part] = fp[:n]
+                score[part] = sc[:n]
+                out_ed[part] = e[:n]
 
     # Reference pod ordering: single-thread full-path insertion order is
     # (clump asc, query-row asc, lane asc) head-inserted, i.e. iteration
