@@ -7,6 +7,7 @@ recorded but do not change results, exactly as there.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -34,6 +35,7 @@ def parse_args(argv):
         "rebase": False, "rebase_amt": 500, "dedupe": False,
         "threads": 1, "skipambig": False, "fp": False, "prepass": 0,
         "heur": False, "quiet": False, "shards": 1,
+        "kmer": int(os.environ.get("BURST_TPU_SCOUR_N", "15")),
     }
     i = 1
     n = len(argv)
@@ -149,6 +151,8 @@ def parse_args(argv):
             need("--dbpartition requires integer argument")
         elif arg == "--shards":
             a["shards"] = int(need("--shards requires integer argument"))
+        elif arg == "--kmer":
+            a["kmer"] = int(need("--kmer requires integer argument"))
         elif arg in ("--help", "-h"):
             _usage()
         else:
@@ -190,7 +194,15 @@ def run(a) -> int:
     if a["tax"]:
         taxonomy = Taxonomy.parse(a["tax"], ncbi=a["taxa_ncbi"])
 
-    if a["shards"] > 1:
+    visits = None
+    if a["accel"]:
+        from .accel import read_acx
+        from .process import bin_queries_for_accel
+        acc = read_acx(a["accel"], z_required=a["z"])
+        qbins = bin_queries_for_accel(qd, acc.k, a["z"], a["heur"])
+        visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"])
+        ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
+    elif a["shards"] > 1:
         from .parallel.mesh import compute_ed_matrix_sharded
         ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])
     else:
@@ -202,8 +214,12 @@ def run(a) -> int:
             modes.report_any(ed, qd, rd, writer, smat)
             return 0
         juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
+        pod_order = None
+        if visits is not None:
+            pod_order = engine.accel_pod_order(qd, rd, visits, juni,
+                                               refpos, eds)
         pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
-                                      a["mode"], smat)
+                                      a["mode"], smat, pod_order)
         if a["mode"] in ("ALLPATHS", "FORAGE"):
             modes.report_allpaths_or_forage(
                 pods, qd, rd, writer, taxonomy,

@@ -32,5 +32,6 @@ def make_db(a: dict):
     if a.get("accel"):
         from ..accel import make_accelerator
         make_accelerator(rd, a["accel"], z=a["z"],
-                         skip_ambig=a["skipambig"])
+                         skip_ambig=a["skipambig"],
+                         k=a.get("kmer", 15))
     print("Database written.")

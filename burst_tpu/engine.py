@@ -118,9 +118,12 @@ def select_pods(qd: QueryData, rd: RefData, ed: np.ndarray, mode: str):
     """Apply budgets and tie selection; return winner (juni, refpos, ed)."""
     nu = qd.num_uniq
     budgets = qd.ed  # [numUniq]
+    rows_of = [[] for _ in range(nu)]
+    for j in range(len(qd.seqs)):
+        rows_of[int(qd.six[j])].append(j)
     picks_j, picks_p, picks_e = [], [], []
     for i in range(nu):
-        rows = [i] + ([i + nu] if len(qd.seqs) > nu else [])
+        rows = rows_of[i]
         sub = ed[rows]                       # [1 or 2, U]
         bud = int(budgets[i])
         if mode == "FORAGE":
@@ -144,7 +147,8 @@ def select_pods(qd: QueryData, rd: RefData, ed: np.ndarray, mode: str):
 
 
 def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
-                    mode: str, smat: np.ndarray | None = None) -> Pods:
+                    mode: str, smat: np.ndarray | None = None,
+                    pod_order: np.ndarray | None = None) -> Pods:
     """Phase B: exact stats for winner pairs, then reference pod ordering."""
     if smat is None:
         smat = score_matrix()
@@ -203,9 +207,13 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
     # Reference pod ordering: single-thread full-path insertion order is
     # (clump asc, query-row asc, lane asc) head-inserted, i.e. iteration
     # order (clump desc, query-row desc, lane desc) (burst.c:4343-4477).
-    clump = refpos // VECSZ
-    lane = refpos % VECSZ
-    srt = np.lexsort((-lane, -juni, -clump))
+    # The accel path passes its own visit-rank ordering via pod_order.
+    if pod_order is not None:
+        srt = pod_order
+    else:
+        clump = refpos // VECSZ
+        lane = refpos % VECSZ
+        srt = np.lexsort((-lane, -juni, -clump))
     return Pods(six=qd.six[juni][srt], juni=juni[srt], refpos=refpos[srt],
                 ed=out_ed[srt], rc=qd.rc[juni][srt], gap_q=gap_q[srt],
                 gap_r=gap_r[srt], final_pos=fpos[srt], score=score[srt])
@@ -216,3 +224,147 @@ def align(qd: QueryData, rd: RefData, mode: str,
     ed = compute_ed_matrix(qd, rd, smat)
     juni, refpos, eds = select_pods(qd, rd, ed, mode)
     return rescore_winners(qd, rd, juni, refpos, eds, mode, smat)
+
+
+# ------------------------------------------------------------ accel path
+
+def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
+                     do_heur: bool = False):
+    """Per-unibin candidate clump visit lists (burst.c:4077-4136).
+
+    Returns (visits, eval_rows): visits[j] is the ordered clump visit
+    list for unibin j (pigeonhole-filtered candidates sorted by hit
+    count descending with stable first-touch tie order, then the
+    BadList); unibins in [qbins[1], n) get visits[j] = None meaning the
+    full scan covers them.
+    """
+    from .accel import query_words, scour_candidates
+
+    k = acc.k
+    n = len(qd.seqs)
+    n_clumps = rd.tot_units // VECSZ + (1 if rd.tot_units % VECSZ else 0)
+    bad = list(int(b) for b in acc.bad)
+    visits: list[list[int] | None] = [None] * n
+    for j in range(int(qbins[1])):
+        s = qd.seqs[j]
+        ln = int(qd.lens[qd.six[j]])
+        err = int(qd.ed[qd.six[j]])
+        kload = err * k + k
+        mm_bunch = (ln - kload) if kload < ln else 0
+        if do_heur:
+            mm_bunch = max(mm_bunch, (ln >> 4) + 1)
+        mm_inner = (ln - kload) if kload < ln else 1
+        words = query_words(s, k, acc.z, ambiguous=(j < int(qbins[0])))
+        clumps, counts = scour_candidates(acc, words, n_clumps)
+        keep = (counts > mm_bunch) & (counts > mm_inner)
+        cand = clumps[keep]
+        cnt = counts[keep]
+        srt = np.argsort(-cnt, kind="stable")
+        visits[j] = [int(c) for c in cand[srt]] + bad
+    return visits
+
+
+def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits,
+                            smat: np.ndarray | None = None) -> np.ndarray:
+    """Phase A over candidate pairs only; unevaluated pairs stay 255.
+
+    Dense unibin-major batches: all (unibin, candidate-unit) pairs are
+    flattened and run through the paired Myers kernel in canonical
+    chunks.
+    """
+    if smat is None:
+        smat = score_matrix()
+    nj = len(qd.seqs)
+    ed = np.full((nj, rd.tot_units), 255, dtype=np.uint8)
+    # full scan for unibins without visit lists
+    full_rows = [j for j in range(nj) if visits[j] is None]
+    if full_rows:
+        sub = _subset_qd(qd, full_rows)
+        edf = compute_ed_matrix(sub, rd, smat)
+        ed[full_rows] = edf
+    # pair list for accel unibins
+    pj, pp = [], []
+    for j in range(nj):
+        v = visits[j]
+        if v is None:
+            continue
+        for c in v:
+            for p in range(c * VECSZ, min((c + 1) * VECSZ, rd.tot_units)):
+                pj.append(j)
+                pp.append(p)
+    if pj:
+        pj = np.array(pj, dtype=np.int64)
+        pp = np.array(pp, dtype=np.int64)
+        eds = _pairs_min_ed(qd, rd, pj, pp, smat)
+        ed[pj, pp] = np.minimum(eds, 255).astype(np.uint8)
+    return ed
+
+
+def _subset_qd(qd: QueryData, rows: list[int]) -> QueryData:
+    import copy
+    sub = copy.copy(qd)
+    sub.seqs = [qd.seqs[j] for j in rows]
+    sub.six = qd.six[rows]
+    sub.rc = qd.rc[rows]
+    return sub
+
+
+def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
+                  pp: np.ndarray, smat: np.ndarray) -> np.ndarray:
+    """Paired phase A (burst.c accel inner loop): bucketed like rescore."""
+    n = len(pj)
+    out = np.full(n, 255, dtype=np.int64)
+    qws = np.array([myers.words_for(len(qd.seqs[j])) for j in pj])
+    ulen = np.array([int(rd.lens[rd.ix_srt[p]]) for p in pp])
+    lbs = -(-np.maximum(ulen, 1) // 64) * 64
+    order = np.arange(n)
+    for W in np.unique(qws):
+        for lb in np.unique(lbs[qws == W]):
+            sel = order[(qws == W) & (lbs == lb)]
+            m_pad = int(W) * 32
+            lp = int(lb) + 32
+            pchunk = min(QCHUNK * 4, _pow2_ceil(len(sel)))
+            for s0 in range(0, len(sel), pchunk):
+                part = sel[s0:s0 + pchunk]
+                qarr = np.zeros((pchunk, m_pad), np.uint8)
+                qlens = np.full(pchunk, 1, np.int64)
+                tiles = np.zeros((pchunk, lp), np.uint8)
+                for i, ix in enumerate(part):
+                    s = qd.seqs[pj[ix]]
+                    qarr[i, : len(s)] = s
+                    qlens[i] = len(s)
+                    u = rd.seqs[rd.ix_srt[pp[ix]]]
+                    tiles[i, : len(u)] = u
+                peq = myers.build_peq(qarr, qlens, int(W), smat)
+                res = np.asarray(myers.myers_min_ed(peq, tiles, int(W)))
+                out[part] = res[: len(part)]
+    return out
+
+
+def accel_pod_order(qd: QueryData, rd: RefData, visits, juni, refpos, eds):
+    """Order winner pods like the reference accel path's linked lists:
+    per base query, forward-strand pods then reverse (fold at
+    burst.c:4299-4312), each block in reverse insertion order
+    (clump visit rank desc, lane desc)."""
+    n = len(juni)
+    rank = np.zeros(n, dtype=np.int64)
+    for ix in range(n):
+        j = int(juni[ix])
+        v = visits[j]
+        c = int(refpos[ix]) // VECSZ
+        if v is None:
+            rank[ix] = -1 - c  # full-path block: clump desc == rank asc
+        else:
+            rank[ix] = v.index(c)
+    lane = refpos % VECSZ
+    is_rc = qd.rc[juni].astype(np.int64)
+    # full-path pods (rank<0) keep full-path ordering among themselves;
+    # they belong to bad-bin queries, disjoint from accel queries.
+    full_mask = rank < 0
+    keys_full = np.lexsort((-lane[full_mask], -juni[full_mask],
+                            rank[full_mask]))
+    keys_acc = np.lexsort((-lane[~full_mask], -rank[~full_mask],
+                           is_rc[~full_mask], qd.six[juni[~full_mask]]))
+    idx_full = np.nonzero(full_mask)[0][keys_full]
+    idx_acc = np.nonzero(~full_mask)[0][keys_acc]
+    return np.concatenate([idx_acc, idx_full])

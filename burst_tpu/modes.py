@@ -367,9 +367,12 @@ def report_any(ed_matrix: np.ndarray, qd: QueryData, rd: RefData,
     from .engine import rescore_winners
 
     nu = qd.num_uniq
+    rows_of = [[] for _ in range(nu)]
+    for j in range(len(qd.seqs)):
+        rows_of[int(qd.six[j])].append(j)
     hits = []  # (clump, juni, lane, refpos)
     for i in range(nu):
-        rows = [i] + ([i + nu] if len(qd.seqs) > nu else [])
+        rows = rows_of[i]
         bud = int(qd.ed[i])
         found = None
         for p in range(rd.tot_units):

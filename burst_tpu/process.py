@@ -90,6 +90,44 @@ def process_queries(headers, raw_seqs, thres: float, do_rc: bool,
         max_len=int(lens.max()), min_len=int(lens.min()))
 
 
+def bin_queries_for_accel(qd: QueryData, k: int, z: int,
+                          do_heur: bool = False) -> np.ndarray:
+    """Reorder unibins into accelerator bins: ambiguous (0), clear (1),
+    super-ambiguous/ineligible (2), lexicographically sorted within each
+    (burst.c:3113-3186). Mutates qd in place; returns [b0, b1] bin ends
+    (accelerator handles unibins [0, b1); the full scan takes [b1, ...)).
+    """
+    n = len(qd.seqs)
+    stat = np.ones(n, dtype=np.int8)
+    for j in range(n):
+        s = qd.seqs[j]
+        ln = int(qd.lens[qd.six[j]])
+        ed = int(qd.ed[qd.six[j]])
+        if ln < k or (not do_heur and ed >= ln // k):
+            stat[j] = 2
+            continue
+        tot_n = 0
+        for c in s:
+            if c > 4 + z:
+                tot_n += 1
+                if tot_n > 5:
+                    stat[j] = 2
+                    break
+            if c > 4 and stat[j] != 2:
+                stat[j] = 0
+        # note: the reference increments totN only for codes > 4+Z but
+        # demotes to the ambiguous bin for any code > 4
+    keys = [qd.seqs[j].tobytes() for j in range(n)]
+    order = sorted(range(n), key=lambda j: (stat[j], keys[j]))
+    qd.seqs = [qd.seqs[j] for j in order]
+    qd.six = qd.six[order]
+    qd.rc = qd.rc[order]
+    stat = stat[order]
+    b0 = int(np.searchsorted(stat, 1))
+    b1 = int(np.searchsorted(stat, 2))
+    return np.array([b0, b1], dtype=np.int64)
+
+
 @dataclasses.dataclass
 class RefData:
     heads: list[bytes]               # per unit (shear), parent header
