@@ -17,7 +17,7 @@ import numpy as np
 
 from .alphabet import score_matrix
 from .kernels import myers
-from .kernels.rescore import rescore_pairs
+from .kernels.rescore import rescore_pairs, rescore_pairs_gather  # noqa: F401
 from .process import QueryData, RefData
 
 VECSZ = 16  # the reference's clump width; defines pod ordering only
@@ -59,6 +59,114 @@ QCHUNK = 2048   # canonical query-block height (fixed shapes -> one compile)
 TCHUNK = 512    # canonical tile-block width
 
 
+def _query_matrix(qd: QueryData):
+    """Cached [nj, 32*Wmax] padded query matrix + per-row lengths/W."""
+    cache = getattr(qd, "_qmat", None)
+    if cache is not None:
+        return cache
+    nj = len(qd.seqs)
+    qlens = np.array([len(s) for s in qd.seqs], dtype=np.int64)
+    wmax = max(1, int(-(-qlens.max() // 32))) if nj else 1
+    qmat = np.zeros((nj, wmax * 32), dtype=np.uint8)
+    for j, s in enumerate(qd.seqs):
+        qmat[j, : len(s)] = s
+    qw = np.maximum(1, -(-qlens // 32))
+    cache = (qmat, qlens, qw)
+    qd._qmat = cache
+    return cache
+
+
+def _tile_matrix(rd: RefData, lb: int, positions: np.ndarray, pad: int):
+    """Cached [n, lb+pad] padded tile matrix for one length bucket."""
+    cache = getattr(rd, "_tilecache", None)
+    if cache is None:
+        cache = {}
+        rd._tilecache = cache
+    key = (lb, pad)
+    got = cache.get(key)
+    if got is not None:
+        return got
+    mat = np.zeros((len(positions), lb + pad), dtype=np.uint8)
+    for i, p in enumerate(positions):
+        s = rd.seqs[rd.ix_srt[p]]
+        mat[i, : len(s)] = s
+    pos2row = {}
+    for i, p in enumerate(positions):
+        pos2row[int(p)] = i
+    cache[key] = (mat, pos2row)
+    return cache[key]
+
+
+def _peq_cache(qd: QueryData, W: int, smat: np.ndarray):
+    """Per-(W, scoring-matrix) Peq tables for the W-bucket's rows.
+
+    Returns (row2local [nj] int64 with -1 for rows outside the bucket,
+    peq [n_bucket, 16, W] uint32)."""
+    cache = getattr(qd, "_peqcache", None)
+    if cache is None:
+        cache = {}
+        qd._peqcache = cache
+    key = (W, smat.tobytes())
+    got = cache.get(key)
+    if got is not None:
+        return got
+    qmat, qlens, qw = _query_matrix(qd)
+    rows = np.nonzero(qw == W)[0]
+    peq = myers.build_peq(qmat[rows, : 32 * W], qlens[rows], W, smat)
+    row2local = np.full(len(qd.seqs), -1, dtype=np.int64)
+    row2local[rows] = np.arange(len(rows))
+    cache[key] = (row2local, peq)
+    return cache[key]
+
+
+def _peq_device(qd: QueryData, W: int, smat: np.ndarray):
+    """Device-resident pow2-padded Peq for the W bucket."""
+    cache = getattr(qd, "_peqdev", None)
+    if cache is None:
+        cache = {}
+        qd._peqdev = cache
+    key = (W, smat.tobytes())
+    got = cache.get(key)
+    if got is None:
+        import jax.numpy as jnp
+        row2local, peq = _peq_cache(qd, W, smat)
+        n = _pow2_ceil(max(1, peq.shape[0]))
+        padded = np.zeros((n, 16, W), dtype=np.uint32)
+        padded[: peq.shape[0]] = peq
+        got = cache[key] = (row2local, jnp.asarray(padded))
+    return got
+
+
+def _tiles_device(rd: RefData, lb: int, pad: int):
+    """Device-resident pow2-padded tile matrix for one length bucket."""
+    cache = getattr(rd, "_tiledev", None)
+    if cache is None:
+        cache = {}
+        rd._tiledev = cache
+    key = (lb, pad)
+    got = cache.get(key)
+    if got is None:
+        import jax.numpy as jnp
+        bpos = np.nonzero(_unit_lb(rd) == lb)[0]
+        tmat, pos2row = _tile_matrix(rd, lb, bpos, pad)
+        n = _pow2_ceil(max(1, tmat.shape[0]))
+        padded = np.zeros((n, tmat.shape[1]), dtype=np.uint8)
+        padded[: tmat.shape[0]] = tmat
+        got = cache[key] = (pos2row, jnp.asarray(padded))
+    return got
+
+
+def _unit_lb(rd: RefData, granularity: int = 64):
+    """[tot_units] padded length bucket per sorted position (cached)."""
+    lbs = getattr(rd, "_unit_lb", None)
+    if lbs is None:
+        ulen = rd.lens[rd.ix_srt[: rd.tot_units]]
+        lbs = (-(-np.maximum(ulen, 1) // granularity) * granularity
+               ).astype(np.int64)
+        rd._unit_lb = lbs
+    return lbs
+
+
 def compute_ed_matrix(qd: QueryData, rd: RefData,
                       smat: np.ndarray | None = None) -> np.ndarray:
     """Phase A: [numUnibins, tot_units] uint8 min-ED matrix (clipped 255)."""
@@ -68,21 +176,15 @@ def compute_ed_matrix(qd: QueryData, rd: RefData,
     ed = np.full((nj, rd.tot_units), 255, dtype=np.uint8)
     qbuckets = _bucket_queries(qd)
     ubuckets = _bucket_units(rd)
+    qmat, qlens_all, _ = _query_matrix(qd)
     for W, rows in sorted(qbuckets.items()):
         m_pad = W * 32
-        qarr = np.zeros((len(rows), m_pad), dtype=np.uint8)
-        qlens = np.zeros(len(rows), dtype=np.int64)
-        for i, j in enumerate(rows):
-            s = qd.seqs[j]
-            qarr[i, : len(s)] = s
-            qlens[i] = len(s)
+        rows_a = np.array(rows, dtype=np.int64)
+        qarr = qmat[rows_a, :m_pad]
+        qlens = qlens_all[rows_a]
         peq = myers.build_peq(qarr, qlens, W, smat)
         for lb, poss in sorted(ubuckets.items()):
-            lp = lb + 32
-            tiles = np.zeros((len(poss), lp), dtype=np.uint8)
-            for i, p in enumerate(poss):
-                s = rd.seqs[rd.ix_srt[p]]
-                tiles[i, : len(s)] = s
+            tiles, _ = _tile_matrix(rd, int(lb), np.array(poss), 32)
             qchunk = min(QCHUNK, _pow2_ceil(len(rows)))
             tchunk = min(TCHUNK, _pow2_ceil(len(poss)))
             for q0 in range(0, len(rows), qchunk):
@@ -169,34 +271,35 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
 
     # bucket pairs like phase A
     order = np.arange(n)
-    qws = np.array([myers.words_for(len(qd.seqs[j])) for j in juni],
-                   dtype=np.int64) if n else np.zeros(0, np.int64)
-    ulens = np.array([int(rd.lens[rd.ix_srt[p]]) for p in refpos],
-                     dtype=np.int64) if n else np.zeros(0, np.int64)
-    lbs = -(-np.maximum(ulens, 1) // 64) * 64
+    qmat, qlens_all, qw_all = _query_matrix(qd)
+    qws = qw_all[juni] if n else np.zeros(0, np.int64)
+    lbs = _unit_lb(rd)[refpos] if n else np.zeros(0, np.int64)
     for W in np.unique(qws):
         for lb in np.unique(lbs[qws == W]):
             sel = order[(qws == W) & (lbs == lb)]
             m_pad = int(W) * 32
             lp = int(lb) + m_pad
             lp = -(-lp // 64) * 64
+            pos2row, tiles_dev = _tiles_device(rd, int(lb), lp - int(lb))
+            trows = np.array([pos2row[int(p)] for p in refpos[sel]],
+                             dtype=np.int64)
             # canonical batch height: pow2-padded, chunked at QCHUNK
+            row2local, peq_dev = _peq_device(qd, int(W), smat)
+            prows = row2local[juni[sel]]
             pchunk = min(QCHUNK, _pow2_ceil(len(sel)))
             for s0 in range(0, len(sel), pchunk):
                 part = sel[s0:s0 + pchunk]
-                qs = np.zeros((pchunk, m_pad), np.uint8)
-                ts = np.zeros((pchunk, lp), np.uint8)
+                pidx = np.zeros(pchunk, np.int32)
+                tidx = np.zeros(pchunk, np.int32)
+                pidx[: len(part)] = prows[s0:s0 + pchunk]
+                tidx[: len(part)] = trows[s0:s0 + pchunk]
                 qlens = np.full(pchunk, 2, np.int64)  # dummies stay valid
-                for i, ix in enumerate(part):
-                    s = qd.seqs[juni[ix]]
-                    qs[i, : len(s)] = s
-                    qlens[i] = len(s)
-                    u = rd.seqs[rd.ix_srt[refpos[ix]]]
-                    ts[i, : len(u)] = u
+                qlens[: len(part)] = qlens_all[juni[part]]
                 bnd = np.zeros(pchunk, np.int64)
                 bnd[: len(part)] = bound[part]
-                e, gq, gr, fp, sc = rescore_pairs(
-                    qs, qlens, ts, bnd, int(W), smat)
+                e, gq, gr, fp, sc = rescore_pairs_gather(
+                    peq_dev, tiles_dev, pidx, tidx, qlens, bnd,
+                    int(W), smat)
                 n = len(part)
                 gap_q[part] = gq[:n]
                 gap_r[part] = gr[:n]
@@ -238,28 +341,73 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
     BadList); unibins in [qbins[1], n) get visits[j] = None meaning the
     full scan covers them.
     """
-    from .accel import query_words, scour_candidates
+    from .accel import query_words
 
     k = acc.k
     n = len(qd.seqs)
     n_clumps = rd.tot_units // VECSZ + (1 if rd.tot_units % VECSZ else 0)
     bad = list(int(b) for b in acc.bad)
     visits: list[list[int] | None] = [None] * n
-    for j in range(int(qbins[1])):
-        s = qd.seqs[j]
-        ln = int(qd.lens[qd.six[j]])
-        err = int(qd.ed[qd.six[j]])
-        kload = err * k + k
-        mm_bunch = (ln - kload) if kload < ln else 0
-        if do_heur:
-            mm_bunch = max(mm_bunch, (ln >> 4) + 1)
-        mm_inner = (ln - kload) if kload < ln else 1
-        words = query_words(s, k, acc.z, ambiguous=(j < int(qbins[0])))
-        clumps, counts = scour_candidates(acc, words, n_clumps)
-        keep = (counts > mm_bunch) & (counts > mm_inner)
-        cand = clumps[keep]
-        cnt = counts[keep]
-        srt = np.argsort(-cnt, kind="stable")
+    b0, b1 = int(qbins[0]), int(qbins[1])
+
+    # word multisets of all accelerator-eligible unibins, batched
+    qidx_parts, word_parts = [], []
+    for j in range(b1):
+        visits[j] = list(bad)          # default: BadList only
+        words = query_words(qd.seqs[j], k, acc.z, ambiguous=(j < b0))
+        if words.size:
+            qidx_parts.append(np.full(words.size, j, dtype=np.int64))
+            word_parts.append(words)
+    if not qidx_parts:
+        return visits
+    qidx = np.concatenate(qidx_parts)
+    words = np.concatenate(word_parts)
+    span = np.int64(1) << np.int64(2 * k)
+    ukey, mult = np.unique(qidx * span + words, return_counts=True)
+    uq = ukey // span
+    uw = ukey % span
+    seg = (acc.offsets[uw + 1] - acc.offsets[uw]).astype(np.int64)
+    total = int(seg.sum())
+    if total == 0:
+        return visits
+    starts = acc.offsets[uw]
+    base = np.repeat(starts - np.concatenate(
+        ([0], np.cumsum(seg)[:-1])), seg)
+    flat = base + np.arange(total)
+    cl = acc.ids[flat].astype(np.int64)
+    qrep = np.repeat(uq, seg)
+    wgt = np.repeat(mult, seg)
+    pkey = qrep * n_clumps + cl
+    u2, first, inv = np.unique(pkey, return_index=True, return_inverse=True)
+    hits = np.bincount(inv, weights=wgt).astype(np.int64)
+    np.minimum(hits, 0xFFFF, out=hits)
+    pq = (u2 // n_clumps).astype(np.int64)
+    pc = (u2 % n_clumps).astype(np.int64)
+
+    # thresholds per unibin (burst.c:4091-4095, 4163-4165)
+    lns = qd.lens[qd.six[:b1]].astype(np.int64)
+    errs = qd.ed[qd.six[:b1]].astype(np.int64)
+    kload = errs * k + k
+    mm_bunch = np.where(kload < lns, lns - kload, 0)
+    if do_heur:
+        mm_bunch = np.maximum(mm_bunch, (lns >> 4) + 1)
+    mm_inner = np.where(kload < lns, lns - kload, 1)
+
+    # group rows by query (u2 is query-major sorted)
+    grp_start = np.searchsorted(pq, np.arange(b1))
+    grp_end = np.searchsorted(pq, np.arange(b1) + 1)
+    for j in range(b1):
+        a, b = int(grp_start[j]), int(grp_end[j])
+        if a == b:
+            continue
+        h = hits[a:b]
+        keep = (h > mm_bunch[j]) & (h > mm_inner[j])
+        if not keep.any():
+            continue
+        cand = pc[a:b][keep]
+        cnt = h[keep]
+        ft = first[a:b][keep]
+        srt = np.lexsort((ft, -cnt))
         visits[j] = [int(c) for c in cand[srt]] + bad
     return visits
 
@@ -283,18 +431,19 @@ def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits,
         edf = compute_ed_matrix(sub, rd, smat)
         ed[full_rows] = edf
     # pair list for accel unibins
-    pj, pp = [], []
+    pj_parts, pp_parts = [], []
+    lane = np.arange(VECSZ, dtype=np.int64)
     for j in range(nj):
         v = visits[j]
-        if v is None:
+        if not v:
             continue
-        for c in v:
-            for p in range(c * VECSZ, min((c + 1) * VECSZ, rd.tot_units)):
-                pj.append(j)
-                pp.append(p)
-    if pj:
-        pj = np.array(pj, dtype=np.int64)
-        pp = np.array(pp, dtype=np.int64)
+        ps = (np.asarray(v, dtype=np.int64)[:, None] * VECSZ + lane).ravel()
+        ps = ps[ps < rd.tot_units]
+        pp_parts.append(ps)
+        pj_parts.append(np.full(len(ps), j, dtype=np.int64))
+    if pj_parts:
+        pj = np.concatenate(pj_parts)
+        pp = np.concatenate(pp_parts)
         eds = _pairs_min_ed(qd, rd, pj, pp, smat)
         ed[pj, pp] = np.minimum(eds, 255).astype(np.uint8)
     return ed
@@ -314,29 +463,27 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
     """Paired phase A (burst.c accel inner loop): bucketed like rescore."""
     n = len(pj)
     out = np.full(n, 255, dtype=np.int64)
-    qws = np.array([myers.words_for(len(qd.seqs[j])) for j in pj])
-    ulen = np.array([int(rd.lens[rd.ix_srt[p]]) for p in pp])
-    lbs = -(-np.maximum(ulen, 1) // 64) * 64
+    qmat, qlens_all, qw_all = _query_matrix(qd)
+    qws = qw_all[pj]
+    lbs = _unit_lb(rd)[pp]
     order = np.arange(n)
     for W in np.unique(qws):
         for lb in np.unique(lbs[qws == W]):
             sel = order[(qws == W) & (lbs == lb)]
-            m_pad = int(W) * 32
-            lp = int(lb) + 32
+            pos2row, tiles_dev = _tiles_device(rd, int(lb), 32)
+            trows = np.array([pos2row[int(p)] for p in pp[sel]],
+                             dtype=np.int64)
+            row2local, peq_dev = _peq_device(qd, int(W), smat)
+            prows = row2local[pj[sel]]
             pchunk = min(QCHUNK * 4, _pow2_ceil(len(sel)))
             for s0 in range(0, len(sel), pchunk):
                 part = sel[s0:s0 + pchunk]
-                qarr = np.zeros((pchunk, m_pad), np.uint8)
-                qlens = np.full(pchunk, 1, np.int64)
-                tiles = np.zeros((pchunk, lp), np.uint8)
-                for i, ix in enumerate(part):
-                    s = qd.seqs[pj[ix]]
-                    qarr[i, : len(s)] = s
-                    qlens[i] = len(s)
-                    u = rd.seqs[rd.ix_srt[pp[ix]]]
-                    tiles[i, : len(u)] = u
-                peq = myers.build_peq(qarr, qlens, int(W), smat)
-                res = np.asarray(myers.myers_min_ed(peq, tiles, int(W)))
+                pidx = np.zeros(pchunk, np.int32)
+                tidx = np.zeros(pchunk, np.int32)
+                pidx[: len(part)] = prows[s0:s0 + pchunk]
+                tidx[: len(part)] = trows[s0:s0 + pchunk]
+                res = np.asarray(myers.myers_min_ed_gather(
+                    peq_dev, tiles_dev, pidx, tidx, int(W)))
                 out[part] = res[: len(part)]
     return out
 

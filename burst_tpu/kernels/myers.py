@@ -212,6 +212,22 @@ def myers_min_ed_cross(peq: jnp.ndarray, tiles: jnp.ndarray, W: int
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("W",))
+def myers_min_ed_gather(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
+                        pidx: jnp.ndarray, tidx: jnp.ndarray, W: int
+                        ) -> jnp.ndarray:
+    """Paired scan with device-side gathers.
+
+    peq_all [NQ,16,W] and tiles_all [NT,Lp] live on the device across
+    chunk calls; each call ships only the [B] index vectors -- essential
+    when host<->device transfer is the bottleneck (tiles repeat heavily
+    across candidate pairs).
+    """
+    peq = jnp.take(peq_all, pidx, axis=0)
+    tiles = jnp.take(tiles_all, tidx, axis=0)
+    return myers_min_ed(peq, tiles, W)
+
+
 def min_ed_numpy_reference(q: np.ndarray, r: np.ndarray, W: int | None = None,
                            smat: np.ndarray | None = None) -> int:
     """Convenience single-pair wrapper (host) used in tests."""

@@ -2,8 +2,8 @@
 
 Reproduces the reference's reScoreM semantics
 (/root/reference/burst.c:713-886) for a batch of (query, reference-tile)
-winner pairs: per pair it returns the minimum glocal edit distance together
-with the reference's dual-objective statistics:
+winner pairs: per pair it returns the minimum glocal edit distance
+together with the reference's dual-objective statistics:
 
   * gap_q / gap_r  -- query/reference gap counts of the winning path,
     chosen per cell by the exact tiebreak (min score; on ties, max gap_q),
@@ -11,15 +11,23 @@ with the reference's dual-objective statistics:
     gap_q) -- matching the reference's sequential lane reduction;
   * final_pos      -- the *latest* last-row column attaining that pair
     (1-based reference end coordinate);
-  * score          -- float32 identity 1 - ED/(qlen + gap_q).
+  * score          -- float32 identity 1 - ED/(qlen + gap_q), computed
+    host-side so the float matches the reference's SSE division exactly.
 
 TPU mapping: the scan runs over query rows; within a row the left-gap
-dependency (cur[x] = min(base[x], cur[x-1]+1) with tiebreaks) is resolved
-by an associative prefix scan over keys (score - x, -(gap_q - x), -x),
-which XLA lowers to log2(L) vector steps -- no sequential column loop.
-Mixed query lengths use wildcard tail rows (see kernels/myers.py); the
-padding shifts final_pos right by (m_pad - qlen), which is subtracted
-before returning.
+chain (cur[x] = merge(base[x], cur[x-1] + (1,1,0)) with tiebreaks) is an
+associative prefix selection over position-invariant keys
+(score - x, gap_q - x, x). Both keys fit 13 bits each, so the pair packs
+into one int32 compared lexicographically, and the scan is a log2(L)
+Hillis-Steele sweep of compare+select -- no gathers, no tuple scans.
+Cost rows are derived from the same Peq bit tables as the phase-A Myers
+kernel (unit costs are always 0/1/dead), so there is no per-row table
+gather either. Mixed query lengths use wildcard tail rows; the padding
+shifts final_pos right by (m_pad - qlen), undone before returning.
+
+Limits of the packed fast path: tile length <= 7679 columns and 32*W <=
+256 query rows; longer inputs use a separate packing with int32 pairs
+(two-array compare) -- still exact, just slower.
 """
 from __future__ import annotations
 
@@ -30,85 +38,95 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..alphabet import score_matrix
+from .myers import build_peq
 
-BIG = jnp.int32(1 << 20)
-
-
-def _combine(a, b):
-    """Associative pick for the in-row left-gap chain.
-
-    Elements are tuples (k1, k2, j, shr): k1 = score - x (minimize),
-    k2 = gap_q - x (maximize), j = column (maximize; the local candidate
-    wins full ties, matching the reference's keep-current-on-tie rule).
-    """
-    k1a, k2a, ja, sa = a
-    k1b, k2b, jb, sb = b
-    b_wins = (k1b < k1a) | ((k1b == k1a) & ((k2b > k2a) |
-                                            ((k2b == k2a) & (jb > ja))))
-    pick = lambda x, y: jnp.where(b_wins, y, x)
-    return (pick(k1a, k1b), pick(k2a, k2b), pick(ja, jb), pick(sa, sb))
+DEAD = 511          # uniform "dead" score (reference: saturated 255)
 
 
 def make_rescore(smat_np: np.ndarray):
-    """Build a jitted rescore function closed over a scoring matrix."""
-    smat_flat = jnp.asarray(smat_np.astype(np.int32).reshape(-1))
+    """Build a jitted rescore closed over a scoring matrix."""
 
     @functools.partial(jax.jit, static_argnames=("W",))
-    def rescore_batch(queries, qlens, tiles, max_ed, W: int):
+    def rescore_batch(peq, qlens, tiles, max_ed, W: int):
         P, Lp = tiles.shape
         m_pad = W * 32
-        tiles_i = tiles.astype(jnp.int32)                    # [P, Lp]
-        qpad = jnp.zeros((P, m_pad), jnp.int32)
-        qpad = qpad.at[:, : queries.shape[1]].set(queries.astype(jnp.int32))
-        bad = (max_ed + 1).astype(jnp.int32)                 # [P]
-        xs = jnp.arange(Lp + 1, dtype=jnp.int32)             # column index
+        assert Lp <= 7679 and m_pad <= 256, "packed rescore range"
+        L1 = Lp + 1
+        bad = (max_ed + 1).astype(jnp.int32)[:, None]        # [P,1]
+        xs = jnp.arange(L1, dtype=jnp.int32)[None, :]        # [1,L1]
+        pad_col = (tiles == 0)                               # [P,Lp]
 
-        def diag_cost(y):
-            """Cost row for query letter at row y (1-based): [P, Lp]."""
-            qy = qpad[:, y - 1]                              # [P]
-            c = jnp.take(smat_flat, qy[:, None] * 16 + tiles_i)
-            c = jnp.where(c == 255, BIG, c)
-            return jnp.where((y - 1) < qlens[:, None], c, 0)  # wildcard rows
+        # Eq bit columns from the Peq tables (match <=> unit cost 0)
+        peq_t = jnp.transpose(peq, (1, 2, 0))                # [16,W,P]
+        v = peq_t[:, :, :, None]
+        colv = tiles.astype(jnp.int32)                       # [P,Lp]
+        for kbit in range(4):
+            bit = ((colv >> kbit) & 1).astype(bool)          # [P,Lp]
+            v = jnp.where(bit[None, None, :, :], v[1::2], v[0::2])
+        eq_cols = v[0]                                       # [W,P,Lp]
+
+        def cost_row(y):
+            """Unit cost of query row y (1-based) vs every tile column."""
+            w = (y - 1) // 32
+            b = ((y - 1) % 32).astype(jnp.uint32) if hasattr(
+                y, "aval") else jnp.uint32((y - 1) % 32)
+            match = ((eq_cols[w] >> b) & jnp.uint32(1)
+                     ).astype(bool)                          # [P,Lp]
+            return jnp.where(match, 0,
+                             jnp.where(pad_col, DEAD, 1)).astype(jnp.int32)
+
+        offs = jnp.int32(Lp)                                 # key offset
+
+        def pack(s, g, x):
+            hi = (s - x + offs)
+            lo = jnp.int32(8191) - (g - x + offs)
+            return (hi << jnp.int32(13)) | lo
 
         # --- row 1, special-cased exactly like the reference ---
-        d1 = diag_cost(1)                                    # [P, Lp]
-        sc = jnp.concatenate([jnp.ones((P, 1), jnp.int32), d1], axis=1)
+        d1 = cost_row(1)
+        sc = jnp.concatenate(
+            [jnp.ones((P, 1), jnp.int32), d1], axis=1)       # [P,L1]
         left = sc[:, :-1]
         sh1 = ((d1 == 1) & (left == 0)).astype(jnp.int32)
         sh = jnp.concatenate([jnp.zeros((P, 1), jnp.int32), sh1], axis=1)
-        shr = jnp.zeros((P, Lp + 1), jnp.int32)
-        shr = shr.at[:, 0].set(1)
-        sc = jnp.where(sc >= bad[:, None], BIG, sc)
+        shr = jnp.zeros((P, L1), jnp.int32).at[:, 0].set(1)
+        sc = jnp.where(sc >= bad, DEAD, sc)
+
+        neg_inf_key = jnp.int32((8191 << 13) | 8191)
 
         def row_step(carry, y):
             psc, psh, pshr = carry
-            d = diag_cost(y)
-            # diagonal candidate
-            sO = jnp.minimum(psc[:, :-1] + d, BIG)
-            gO, rO = psh[:, :-1], pshr[:, :-1]
-            # up candidate (gap in reference)
-            sU = jnp.minimum(psc[:, 1:] + 1, BIG)
-            gU, rU = psh[:, 1:], pshr[:, 1:] + 1
+            d = cost_row(y)
+            # diagonal vs up (gap in reference) merge
+            sO = jnp.minimum(psc[:, :-1] + d, DEAD + 1)
+            sU = jnp.minimum(psc[:, 1:] + 1, DEAD + 1)
+            gO, gU = psh[:, :-1], psh[:, 1:]
             takeU = (sU < sO) | ((sU == sO) & (gU > gO))
             bs = jnp.where(takeU, sU, sO)
             bg = jnp.where(takeU, gU, gO)
-            br = jnp.where(takeU, rU, rO)
-            # column 0 boundary: (y, 0, y) like the reference (min(y,255)
-            # saturation only affects dead cells)
-            bs = jnp.concatenate([jnp.full((P, 1), y, jnp.int32), bs], axis=1)
+            br = jnp.where(takeU, pshr[:, 1:] + 1, pshr[:, :-1])
+            # column-0 boundary (y, 0, y)
+            ycol = jnp.full((P, 1), y, jnp.int32)
+            bs = jnp.concatenate([ycol, bs], axis=1)
             bg = jnp.concatenate([jnp.zeros((P, 1), jnp.int32), bg], axis=1)
-            br = jnp.concatenate([jnp.full((P, 1), y, jnp.int32), br], axis=1)
-            # left-gap chain: prefix pick over (score - x, gap_q - x, x)
-            k1 = bs - xs[None, :]
-            k2 = bg - xs[None, :]
-            jj = jnp.broadcast_to(xs[None, :], (P, Lp + 1))
-            w1, w2, wj, wr = jax.lax.associative_scan(
-                _combine, (k1, k2, jj, br), axis=1)
-            nsc = w1 + xs[None, :]
-            nsh = w2 + xs[None, :]
-            nshr = wr
-            nsc = jnp.where(nsc >= bad[:, None], BIG, nsc)
-            # column 0 stays at the boundary value
+            br = jnp.concatenate([ycol, br], axis=1)
+            # left-gap chain: packed-key prefix selection
+            key = pack(jnp.minimum(bs, DEAD + 1), bg, xs)
+            pay = (xs * jnp.ones((P, 1), jnp.int32) << jnp.int32(9)) | br
+            d_shift = 1
+            while d_shift < L1:
+                kpad = jnp.full((P, d_shift), neg_inf_key, jnp.int32)
+                ppad = jnp.zeros((P, d_shift), jnp.int32)
+                ks = jnp.concatenate([kpad, key[:, :-d_shift]], axis=1)
+                ps = jnp.concatenate([ppad, pay[:, :-d_shift]], axis=1)
+                better = (ks < key) | ((ks == key) & (ps > pay))
+                key = jnp.where(better, ks, key)
+                pay = jnp.where(better, ps, pay)
+                d_shift <<= 1
+            nsc = (key >> jnp.int32(13)) - offs + xs
+            nsh = (jnp.int32(8191) - (key & jnp.int32(8191))) - offs + xs
+            nshr = pay & jnp.int32(511)
+            nsc = jnp.where(nsc >= bad, DEAD, nsc)
             nsc = nsc.at[:, 0].set(y)
             nsh = nsh.at[:, 0].set(0)
             nshr = nshr.at[:, 0].set(y)
@@ -119,7 +137,7 @@ def make_rescore(smat_np: np.ndarray):
 
         # --- final lane reduction over columns 1..Lp ---
         s_last, g_last, r_last = sc[:, 1:], sh[:, 1:], shr[:, 1:]
-        best_s = jnp.min(s_last, axis=1)                     # [P]
+        best_s = jnp.min(s_last, axis=1)
         is_min = s_last == best_s[:, None]
         best_g = jnp.max(jnp.where(is_min, g_last, -1), axis=1)
         is_best = is_min & (g_last == best_g[:, None])
@@ -130,31 +148,69 @@ def make_rescore(smat_np: np.ndarray):
         best_r = jnp.take_along_axis(
             r_last, jnp.clip(first_col - 1, 0, Lp - 1)[:, None], axis=1)[:, 0]
         ed = jnp.minimum(best_s, 255)
-        final_pos = last_col - (m_pad - qlens)               # undo tail pad
+        final_pos = last_col - (m_pad - qlens)
         return ed, best_g, best_r, final_pos
 
     return rescore_batch
 
 
-_DEFAULT = {}
+_CACHE: dict[bytes, object] = {}
+_GCACHE: dict[bytes, object] = {}
 
 
-def rescore_pairs(queries: np.ndarray, qlens: np.ndarray, tiles: np.ndarray,
-                  max_ed: np.ndarray, W: int,
-                  smat: np.ndarray | None = None):
-    """Host-facing wrapper caching jitted functions per scoring matrix."""
+def make_rescore_gather(smat_np: np.ndarray):
+    core = _CACHE.get(smat_np.tobytes())
+    if core is None:
+        core = _CACHE[smat_np.tobytes()] = make_rescore(smat_np)
+
+    @functools.partial(jax.jit, static_argnames=("W",))
+    def fn(peq_all, tiles_all, pidx, tidx, qlens, max_ed, W: int):
+        peq = jnp.take(peq_all, pidx, axis=0)
+        tiles = jnp.take(tiles_all, tidx, axis=0)
+        return core(peq, qlens, tiles, max_ed, W)
+
+    return fn
+
+
+def rescore_pairs_gather(peq_all, tiles_all, pidx, tidx, qlens, max_ed,
+                         W: int, smat: np.ndarray):
+    """Device-gather rescore: peq_all/tiles_all stay device-resident."""
+    key = smat.tobytes()
+    fn = _GCACHE.get(key)
+    if fn is None:
+        fn = _GCACHE[key] = make_rescore_gather(smat)
+    out = fn(peq_all, tiles_all, jnp.asarray(pidx.astype(np.int32)),
+             jnp.asarray(tidx.astype(np.int32)),
+             jnp.asarray(qlens.astype(np.int32)),
+             jnp.asarray(max_ed.astype(np.int32)), W)
+    ed, gq, gr, fp = (np.asarray(o) for o in out)
+    score = np.float32(1.0) - ed.astype(np.float32) / (
+        qlens.astype(np.int64) + gq).astype(np.float32)
+    return ed, gq, gr, fp, score.astype(np.float32)
+
+
+def rescore_pairs(queries: np.ndarray | None, qlens: np.ndarray,
+                  tiles: np.ndarray, max_ed: np.ndarray, W: int,
+                  smat: np.ndarray | None = None,
+                  peq: np.ndarray | None = None):
+    """Host wrapper: Peq prep, jit cache per scoring matrix, float score.
+
+    Pass precomputed `peq` (from myers.build_peq) to skip the host-side
+    table build; `queries` may then be None.
+    """
     if smat is None:
         smat = score_matrix()
     key = smat.tobytes()
-    fn = _DEFAULT.get(key)
+    fn = _CACHE.get(key)
     if fn is None:
-        fn = _DEFAULT[key] = make_rescore(smat)
-    out = fn(jnp.asarray(queries), jnp.asarray(qlens.astype(np.int32)),
+        fn = _CACHE[key] = make_rescore(smat)
+    if peq is None:
+        peq = build_peq(queries, qlens.astype(np.int64), W, smat)
+    out = fn(jnp.asarray(peq), jnp.asarray(qlens.astype(np.int32)),
              jnp.asarray(tiles), jnp.asarray(max_ed.astype(np.int32)), W)
     ed, gq, gr, fp = (np.asarray(o) for o in out)
-    # Identity is computed on the host in float32 so it is bit-identical to
-    # the reference's SSE float division (burst.c:844-860); XLA's device
-    # division can differ by one ulp.
+    # Identity computed on the host in float32: bit-identical to the
+    # reference's SSE float division (burst.c:844-860).
     score = np.float32(1.0) - ed.astype(np.float32) / (
         qlens.astype(np.int64) + gq).astype(np.float32)
     return ed, gq, gr, fp, score.astype(np.float32)
