@@ -53,8 +53,8 @@ def run_pipeline(qheads, reads, rd, acc, smat):
     qd = process_queries(qheads, reads, THRES, do_rc=False)
     qbins = bin_queries_for_accel(qd, acc.k, 1)
     visits = engine.accel_candidates(qd, rd, acc, qbins)
-    ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
-    juni, refpos, eds = engine.select_pods(qd, rd, ed, "BEST")
+    ed, pairs = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
+    juni, refpos, eds = engine.select_pods(qd, rd, ed, "BEST", pairs)
     pods = engine.rescore_winners(qd, rd, juni, refpos, eds, "BEST", smat)
     buf = io.StringIO()
     modes.report_best(pods, qd, rd, modes.B6Writer(buf))

@@ -195,13 +195,14 @@ def run(a) -> int:
         taxonomy = Taxonomy.parse(a["tax"], ncbi=a["taxa_ncbi"])
 
     visits = None
+    pairs = None
     if a["accel"]:
         from .accel import read_acx
         from .process import bin_queries_for_accel
         acc = read_acx(a["accel"], z_required=a["z"])
         qbins = bin_queries_for_accel(qd, acc.k, a["z"], a["heur"])
         visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"])
-        ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
+        ed, pairs = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
     elif a["shards"] > 1:
         from .parallel.mesh import compute_ed_matrix_sharded
         ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])
@@ -213,7 +214,7 @@ def run(a) -> int:
         if a["mode"] == "ANY":
             modes.report_any(ed, qd, rd, writer, smat)
             return 0
-        juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
+        juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"], pairs)
         pod_order = None
         if visits is not None:
             pod_order = engine.accel_pod_order(qd, rd, visits, juni,

@@ -216,36 +216,61 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def select_pods(qd: QueryData, rd: RefData, ed: np.ndarray, mode: str):
-    """Apply budgets and tie selection; return winner (juni, refpos, ed)."""
+def select_pods(qd: QueryData, rd: RefData, ed: np.ndarray, mode: str,
+                pairs: tuple[np.ndarray, np.ndarray] | None = None):
+    """Apply budgets and tie selection; return winner (juni, refpos, ed).
+
+    With `pairs` (the evaluated (juni, refpos) lists from the accel
+    path), selection runs on the sparse pair arrays instead of the dense
+    matrix.
+    """
     nu = qd.num_uniq
     budgets = qd.ed  # [numUniq]
-    rows_of = [[] for _ in range(nu)]
-    for j in range(len(qd.seqs)):
-        rows_of[int(qd.six[j])].append(j)
-    picks_j, picks_p, picks_e = [], [], []
-    for i in range(nu):
-        rows = rows_of[i]
-        sub = ed[rows]                       # [1 or 2, U]
-        bud = int(budgets[i])
+    if pairs is not None:
+        pj, pp, full_rows = pairs
+        pe = ed[pj, pp].astype(np.int64)
+        six = qd.six[pj]
+        frows = np.asarray(full_rows, dtype=np.int64)
         if mode == "FORAGE":
-            mask = sub <= bud
+            keep = pe <= budgets[six]
+            out = [(pj[keep], pp[keep], pe[keep])]
+            if frows.size:
+                sub = ed[frows]
+                mask = sub <= budgets[qd.six[frows]][:, None]
+                r, c = np.nonzero(mask)
+                out.append((frows[r], c.astype(np.int64),
+                            sub[r, c].astype(np.int64)))
         else:
-            best = int(sub.min()) if sub.size else 255
-            if best > bud:
-                continue
-            mask = sub == best
-        jj, pp = np.nonzero(mask)
-        if jj.size == 0:
-            continue
-        picks_j.append(np.array(rows, dtype=np.int64)[jj])
-        picks_p.append(pp.astype(np.int64))
-        picks_e.append(sub[jj, pp].astype(np.int64))
-    if not picks_j:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z
-    return (np.concatenate(picks_j), np.concatenate(picks_p),
-            np.concatenate(picks_e))
+            best = np.full(nu, 255, dtype=np.int64)
+            np.minimum.at(best, six, pe)
+            if frows.size:
+                sub = ed[frows]
+                np.minimum.at(best, qd.six[frows],
+                              sub.min(axis=1).astype(np.int64))
+            keep = (pe == best[six]) & (pe <= budgets[six])
+            out = [(pj[keep], pp[keep], pe[keep])]
+            if frows.size:
+                fsix = qd.six[frows]
+                mask = (sub == best[fsix][:, None]) & \
+                    (best[fsix] <= budgets[fsix])[:, None]
+                r, c = np.nonzero(mask)
+                out.append((frows[r], c.astype(np.int64),
+                            sub[r, c].astype(np.int64)))
+        return (np.concatenate([o[0] for o in out]),
+                np.concatenate([o[1] for o in out]),
+                np.concatenate([o[2] for o in out]))
+    budj = budgets[qd.six]                   # [nj]
+    if mode == "FORAGE":
+        maskj = ed <= budj[:, None]
+    else:
+        # fold strands: per-base-query minimum over its unibin rows
+        best = np.full(nu, 255, dtype=np.int64)
+        np.minimum.at(best, qd.six, ed.min(axis=1).astype(np.int64))
+        valid = best <= budgets
+        maskj = (ed == best[qd.six][:, None]) & valid[qd.six][:, None]
+    jj, pp = np.nonzero(maskj)
+    eds = ed[jj, pp].astype(np.int64)
+    return jj.astype(np.int64), pp.astype(np.int64), eds
 
 
 def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
@@ -351,13 +376,31 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
     b0, b1 = int(qbins[0]), int(qbins[1])
 
     # word multisets of all accelerator-eligible unibins, batched
+    bad_arr = np.asarray(bad, dtype=np.int64)
     qidx_parts, word_parts = [], []
     for j in range(b1):
-        visits[j] = list(bad)          # default: BadList only
-        words = query_words(qd.seqs[j], k, acc.z, ambiguous=(j < b0))
+        visits[j] = bad_arr            # default: BadList only
+    # ambiguous unibins: per-query expansion (few)
+    for j in range(b0):
+        words = query_words(qd.seqs[j], k, acc.z, ambiguous=True)
         if words.size:
             qidx_parts.append(np.full(words.size, j, dtype=np.int64))
             word_parts.append(words)
+    # clear unibins: vectorized rolling k-mers, grouped by length
+    if b1 > b0:
+        qmat, qlens_all, _ = _query_matrix(qd)
+        clear = np.arange(b0, b1)
+        lens_c = qlens_all[clear]
+        pw = (4 ** np.arange(k - 1, -1, -1, dtype=np.int64))
+        for ln in np.unique(lens_c):
+            rows = clear[lens_c == ln]
+            if ln < k:
+                continue
+            sub = qmat[rows, :ln].astype(np.int64) - 1
+            win = np.lib.stride_tricks.sliding_window_view(sub, k, axis=1)
+            words = (win * pw).sum(axis=2)          # [R, ln-k+1]
+            qidx_parts.append(np.repeat(rows, ln - k + 1))
+            word_parts.append(words.ravel())
     if not qidx_parts:
         return visits
     qidx = np.concatenate(qidx_parts)
@@ -408,17 +451,18 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
         cnt = h[keep]
         ft = first[a:b][keep]
         srt = np.lexsort((ft, -cnt))
-        visits[j] = [int(c) for c in cand[srt]] + bad
+        visits[j] = np.concatenate([cand[srt], bad_arr])
     return visits
 
 
 def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits,
-                            smat: np.ndarray | None = None) -> np.ndarray:
+                            smat: np.ndarray | None = None):
     """Phase A over candidate pairs only; unevaluated pairs stay 255.
 
     Dense unibin-major batches: all (unibin, candidate-unit) pairs are
     flattened and run through the paired Myers kernel in canonical
-    chunks.
+    chunks. Returns (ed_matrix, (pair_rows, pair_cols, full_rows)) so
+    selection can stay sparse.
     """
     if smat is None:
         smat = score_matrix()
@@ -435,7 +479,7 @@ def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits,
     lane = np.arange(VECSZ, dtype=np.int64)
     for j in range(nj):
         v = visits[j]
-        if not v:
+        if v is None or len(v) == 0:
             continue
         ps = (np.asarray(v, dtype=np.int64)[:, None] * VECSZ + lane).ravel()
         ps = ps[ps < rd.tot_units]
@@ -446,7 +490,9 @@ def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits,
         pp = np.concatenate(pp_parts)
         eds = _pairs_min_ed(qd, rd, pj, pp, smat)
         ed[pj, pp] = np.minimum(eds, 255).astype(np.uint8)
-    return ed
+    else:
+        pj = pp = np.zeros(0, dtype=np.int64)
+    return ed, (pj, pp, np.asarray(full_rows, dtype=np.int64))
 
 
 def _subset_qd(qd: QueryData, rows: list[int]) -> QueryData:
@@ -495,6 +541,7 @@ def accel_pod_order(qd: QueryData, rd: RefData, visits, juni, refpos, eds):
     (clump visit rank desc, lane desc)."""
     n = len(juni)
     rank = np.zeros(n, dtype=np.int64)
+    rank_maps: dict[int, dict[int, int]] = {}
     for ix in range(n):
         j = int(juni[ix])
         v = visits[j]
@@ -502,7 +549,10 @@ def accel_pod_order(qd: QueryData, rd: RefData, visits, juni, refpos, eds):
         if v is None:
             rank[ix] = -1 - c  # full-path block: clump desc == rank asc
         else:
-            rank[ix] = v.index(c)
+            rm = rank_maps.get(j)
+            if rm is None:
+                rm = rank_maps[j] = {int(cc): r for r, cc in enumerate(v)}
+            rank[ix] = rm[c]
     lane = refpos % VECSZ
     is_rc = qd.rc[juni].astype(np.int64)
     # full-path pods (rank<0) keep full-path ordering among themselves;

@@ -168,24 +168,21 @@ def _suppress_best(tax: bytes, score: float, taxlevels) -> bytes:
 
 def report_best(pods: Pods, qd: QueryData, rd: RefData, writer: B6Writer,
                 taxonomy=None, taxasuppress=False, strict=False):
-    by_q = _pods_by_query(pods, qd.num_uniq)
     taxlv = TAXLEVELS_STRICT if strict else TAXLEVELS_LENIENT
-    for i in range(qd.num_uniq):
-        lst = by_q[i]
-        if not lst:
-            continue
-        best = lst[0]
-        for ix in lst[1:]:
-            if ((pods.ed[ix] < pods.ed[best]) or
-                (pods.ed[ix] == pods.ed[best] and
-                 pods.score[ix] > pods.score[best]) or
-                (pods.ed[ix] == pods.ed[best] and
-                 pods.score[ix] == pods.score[best] and
-                 int(rd.ix_srt[pods.refpos[ix]]) <
-                 int(rd.ix_srt[pods.refpos[best]]))):
-                best = ix
-        ix = best
-        rix = int(rd.ix_srt[pods.refpos[ix]])
+    n = len(pods.six)
+    if n == 0:
+        return
+    # winner per query = lexicographic min by (ed, -score, original ref
+    # index); unique keys, so equivalent to the reference's
+    # strict-improvement scan (burst.c:4854-4860)
+    rix_all = rd.ix_srt[pods.refpos]
+    order = np.lexsort((rix_all, -pods.score, pods.ed, pods.six))
+    six_sorted = pods.six[order]
+    firsts = np.unique(six_sorted, return_index=True)[1]
+    for w in firsts:
+        ix = int(order[w])
+        i = int(pods.six[ix])
+        rix = int(rix_all[ix])
         qlen = int(qd.lens[i])
         gq, gr = int(pods.gap_q[ix]), int(pods.gap_r[ix])
         num_gap = gq + gr
