@@ -53,8 +53,8 @@ def run_pipeline(qheads, reads, rd, acc, smat):
     qd = process_queries(qheads, reads, THRES, do_rc=False)
     qbins = bin_queries_for_accel(qd, acc.k, 1)
     visits = engine.accel_candidates(qd, rd, acc, qbins)
-    ed, pairs = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
-    juni, refpos, eds = engine.select_pods(qd, rd, ed, "BEST", pairs)
+    ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
+    juni, refpos, eds = engine.select_pods(qd, rd, ed, "BEST")
     pods = engine.rescore_winners(qd, rd, juni, refpos, eds, "BEST", smat)
     buf = io.StringIO()
     modes.report_best(pods, qd, rd, modes.B6Writer(buf))
@@ -74,13 +74,17 @@ def main():
                             rebase=True, rebase_amt=320, curate=2)
     acc = build_accelerator(rd, k=K, z=1)
 
-    # warm-up: one full pass builds caches and compiles all kernel shapes
-    # (persisted .edx/.acx + steady-state serving is the production mode)
+    # warm-up: two full passes build caches, compile all kernel shapes
+    # and fault in the allocator's pages (persisted .edx/.acx +
+    # steady-state serving is the production mode)
+    run_pipeline(qheads, reads, rd, acc, smat)
     run_pipeline(qheads, reads, rd, acc, smat)
 
     t0 = time.perf_counter()
-    n_rows = run_pipeline(qheads, reads, rd, acc, smat)
-    dt = time.perf_counter() - t0
+    n_runs = 2
+    for _ in range(n_runs):
+        n_rows = run_pipeline(qheads, reads, rd, acc, smat)
+    dt = (time.perf_counter() - t0) / n_runs
     reads_per_sec = N_READS / dt
     print(json.dumps({
         "metric": "100bp reads aligned/sec/chip at 98% id "

@@ -36,14 +36,47 @@ IPOW4 = [1, 4, 16, 61, 256, 1024, 4096, 16384, 65536, 262144, 1048576,
          4194304, 16777216, 67108864, 268435456, 1073741824]
 
 
+class SparseCSR:
+    """Sparse word->postings map (the 'Forest', burst.c:3535-3594).
+
+    The dense 4^k offsets table is never materialized in memory -- at
+    k=15 every pass over a 4^k array costs tens of seconds in RAM
+    bandwidth alone. Lookups binary-search the sorted nonzero words.
+    """
+
+    def __init__(self, nzw: np.ndarray, cnt: np.ndarray, ids: np.ndarray):
+        self.nzw = nzw              # sorted words with nonzero postings
+        self.cnt = cnt              # postings count per nz word (int64)
+        self.start = np.concatenate(
+            ([0], np.cumsum(cnt)[:-1])).astype(np.int64) if len(cnt) \
+            else np.zeros(0, np.int64)
+        self.ids = ids              # concatenated postings (uint32)
+
+    def lookup(self, words: np.ndarray):
+        """(starts, lens) per query word; absent words get len 0."""
+        if len(self.nzw) == 0:
+            z = np.zeros(len(words), dtype=np.int64)
+            return z, z
+        pos = np.searchsorted(self.nzw, words)
+        pos = np.minimum(pos, len(self.nzw) - 1)
+        hit = self.nzw[pos] == words
+        lens = np.where(hit, self.cnt[pos], 0)
+        starts = np.where(hit, self.start[pos], 0)
+        return starts, lens
+
+
 class Accelerator:
-    def __init__(self, k: int, offsets: np.ndarray, ids: np.ndarray,
-                 bad: np.ndarray, z: int):
+    def __init__(self, k: int, csr: SparseCSR, bad: np.ndarray, z: int):
         self.k = k
-        self.offsets = offsets      # [4^k + 1] int64 CSR offsets
-        self.ids = ids              # postings: clump ids (uint32)
+        self.csr = csr              # clump-granular postings
         self.bad = bad              # BadList clump ids
         self.z = z
+        self.u_csr = None           # unit-granular postings (lazy, not
+        #                             serialized; see build_unit_index)
+
+    @property
+    def ids(self) -> np.ndarray:
+        return self.csr.ids
 
 
 def _expand_words(seq: np.ndarray, j0: int, k: int, out: list):
@@ -132,32 +165,114 @@ def _clump_is_bad(seqs: list[np.ndarray], k: int, z: int) -> bool:
     return False
 
 
+def _assemble_csr(words_parts: list[np.ndarray],
+                  src_parts: list[np.ndarray]) -> SparseCSR:
+    """SparseCSR from per-source word lists (stable source order)."""
+    if not words_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return SparseCSR(z, z, np.zeros(0, dtype=np.uint32))
+    all_w = np.concatenate(words_parts)
+    all_s = np.concatenate(src_parts)
+    srt = np.argsort(all_w, kind="stable")   # keeps source order per word
+    ids = all_s[srt].astype(np.uint32)
+    nzw, cnt = np.unique(all_w[srt], return_counts=True)
+    return SparseCSR(nzw, cnt.astype(np.int64), ids)
+
+
 def build_accelerator(rd: RefData, k: int = 15, z: int = 1,
                       skip_ambig: bool = False) -> Accelerator:
     tot_rc = rd.tot_units // VECSZ + (1 if rd.tot_units % VECSZ else 0)
-    n_words = 1 << (2 * k)
-    counts = np.zeros(n_words, dtype=np.int64)
-    per_clump_words: list[np.ndarray] = []
+    word_parts: list[np.ndarray] = []
+    src_parts: list[np.ndarray] = []
     bad: list[int] = []
     for c in range(tot_rc):
         begin, end = c * VECSZ, min(rd.tot_units, (c + 1) * VECSZ)
         seqs = [rd.seqs[rd.ix_srt[p]] for p in range(begin, end)]
         if not skip_ambig and _clump_is_bad(seqs, k, z):
             bad.append(c)
-            per_clump_words.append(np.zeros(0, dtype=np.int64))
             continue
         words = _clump_words(seqs, k, z, skip_ambig)
-        per_clump_words.append(words)
-        np.add.at(counts, words, 1)
-    offsets = np.zeros(n_words + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    ids = np.zeros(offsets[-1], dtype=np.uint32)
-    fill = offsets[:-1].copy()
-    for c, words in enumerate(per_clump_words):
         if words.size:
-            ids[fill[words]] = c
-            fill[words] += 1
-    return Accelerator(k, offsets, ids, np.array(bad, dtype=np.uint32), z)
+            word_parts.append(words)
+            src_parts.append(np.full(words.size, c, dtype=np.int64))
+    return Accelerator(k, _assemble_csr(word_parts, src_parts),
+                       np.array(bad, dtype=np.uint32), z)
+
+
+def build_unit_index(rd: RefData, acc: "Accelerator",
+                     skip_ambig: bool = False):
+    """Unit-granular postings for the sound per-unit prefilter.
+
+    Same word semantics as the clump index (ambiguity expansion, z
+    skipping) but ids are sorted-unit positions, so the q-gram
+    pigeonhole bound (burst.c:4091-4095) can be applied per unit: a
+    unit with edit distance <= err must share > len - (err+1)*k words,
+    so filtering lanes below the bound provably never drops a winner.
+    Units of BadList clumps are not indexed (callers must always pass
+    them). Cached on `acc`; never serialized (derived data).
+    """
+    if acc.u_csr is not None:
+        return
+    k, z = acc.k, acc.z
+    n_units = rd.tot_units
+    bad_clump = np.zeros(n_units // VECSZ + 1, dtype=bool)
+    if len(acc.bad):
+        bad_clump[acc.bad.astype(np.int64)] = True
+    lens = np.array([len(rd.seqs[rd.ix_srt[p]]) for p in range(n_units)],
+                    dtype=np.int64)
+    elig = (~bad_clump[np.arange(n_units) // VECSZ]) & (lens >= k)
+
+    key_parts: list[np.ndarray] = []
+    span = np.int64(1) << np.int64(2 * k)
+
+    # fast vectorized path (z or skip_ambig: windows with the skip code
+    # are dropped; remaining ambiguous windows are DFS-expanded below)
+    ue = np.nonzero(elig)[0]
+    if len(ue) and (z or skip_ambig):
+        cat = np.concatenate([rd.seqs[rd.ix_srt[p]] for p in ue])
+        ulen = lens[ue]
+        uid = np.repeat(np.arange(len(ue), dtype=np.int64), ulen)
+        nwin = len(cat) - k + 1
+        if nwin > 0:
+            valid = uid[:nwin] == uid[k - 1:]
+            c = cat.astype(np.int64)
+            skip_hit = (c >= 5) if skip_ambig else (c == 5)
+            amb_hit = c > 4 + z
+            csk = np.concatenate(([0], np.cumsum(skip_hit)))
+            cam = np.concatenate(([0], np.cumsum(amb_hit)))
+            w_skip = (csk[k:] - csk[:-k]) > 0          # [nwin]
+            w_amb = (cam[k:] - cam[:-k]) > 0
+            clear = valid & ~w_skip & ~w_amb
+            words = np.zeros(nwin, dtype=np.int64)
+            cm1 = c - 1
+            for t in range(k):
+                words += cm1[t: t + nwin] << np.int64(2 * (k - 1 - t))
+            wsel = np.nonzero(clear)[0]
+            key_parts.append(ue[uid[wsel]] * span + words[wsel])
+            # ambiguous (non-skip) windows: DFS expansion, few
+            asel = np.nonzero(valid & ~w_skip & w_amb)[0]
+            for j0 in asel:
+                tmp: list[int] = []
+                _expand_words(cat, int(j0), k, tmp)
+                if tmp:
+                    key_parts.append(
+                        np.int64(ue[uid[j0]]) * span +
+                        np.array(tmp, dtype=np.int64))
+    elif len(ue):
+        # z=0 without skip_ambig: per-unit reference-semantics fallback
+        for p in ue:
+            words = _clump_words([rd.seqs[rd.ix_srt[p]]], k, z, skip_ambig)
+            if words.size:
+                key_parts.append(np.int64(p) * span + words)
+
+    if key_parts:
+        keys = np.unique(np.concatenate(key_parts))   # dedupe per unit
+        words_u = (keys % span).astype(np.int64)
+        units_u = (keys // span).astype(np.int64)
+        acc.u_csr = _assemble_csr([words_u], [units_u])
+    else:
+        z0 = np.zeros(0, dtype=np.int64)
+        acc.u_csr = SparseCSR(z0, z0, np.zeros(0, dtype=np.uint32))
 
 
 def make_accelerator(rd: RefData, path: str, z: int = 1,
@@ -183,112 +298,153 @@ def write_acx(path: str, acc: Accelerator, tot_rc: int):
             (ACC_VERSION_BIG if big else ACC_VERSION)
         f.write(bytes([vers]))
         f.write(np.uint32(len(acc.bad)).tobytes())
-        lens = np.diff(acc.offsets).astype(np.uint32)
-        f.write(lens.tobytes())
-        ids = acc.ids.astype(np.uint64)
+        csr = acc.csr
+        n_words = 1 << (2 * acc.k)
+        # dense counts table: calloc'd zeros + sparse scatter, so only
+        # the nonzero pages are ever faulted before the streaming write
+        lens_dense = np.zeros(n_words, dtype=np.uint32)
+        if len(csr.nzw):
+            lens_dense[csr.nzw] = csr.cnt.astype(np.uint32)
+        lens_dense.tofile(f)
+        del lens_dense
+        ids = csr.ids.astype(np.uint64)
         if big:
-            # 3 bytes per id
+            # 3 bytes per id; per-word order is already contiguous in CSR
             b = np.zeros((len(ids), 3), dtype=np.uint8)
             b[:, 0] = ids & 0xFF
             b[:, 1] = (ids >> 8) & 0xFF
             b[:, 2] = (ids >> 16) & 0xFF
-            # per-word order is already contiguous in CSR
-            f.write(b.tobytes())
+            b.tofile(f)
         else:
-            out = bytearray()
-            for w0, w1 in zip(acc.offsets[:-1], acc.offsets[1:]):
-                seg = ids[w0:w1]
-                for t in range(0, len(seg) - 1, 2):
-                    bay = int(seg[t]) | (int(seg[t + 1]) << 20)
-                    out += bay.to_bytes(5, "little")
-                if len(seg) % 2:
-                    out += int(seg[-1]).to_bytes(3, "little")
-            f.write(bytes(out))
-        f.write(acc.bad.astype(np.uint32).tobytes())
+            # vectorized SMALL encode (inverse of read_acx's decode):
+            # per word, len//2 5-byte pair records + optional 3-byte
+            # tail. All bookkeeping runs on the sparse nonzero words.
+            pairs_nz = csr.cnt >> 1
+            odd_nz = csr.cnt & 1
+            blen_nz = pairs_nz * 5 + odd_nz * 3
+            bs_nz = np.concatenate(([0], np.cumsum(blen_nz)))
+            out = np.zeros(int(bs_nz[-1]), dtype=np.uint8)
+            n_pairs = int(pairs_nz.sum())
+            if n_pairs:
+                pm = pairs_nz > 0
+                ppw = pairs_nz[pm]
+                within = np.arange(n_pairs) - np.repeat(
+                    np.concatenate(([0], np.cumsum(ppw)[:-1])), ppw)
+                src = np.repeat(csr.start[pm], ppw) + 2 * within
+                bay = ids[src] | (ids[src + 1] << np.uint64(20))
+                rec = np.repeat(bs_nz[:-1][pm], ppw) + 5 * within
+                for t in range(5):
+                    out[rec + t] = ((bay >> np.uint64(8 * t))
+                                    & np.uint64(0xFF)).astype(np.uint8)
+            om = odd_nz > 0
+            if om.any():
+                v = ids[csr.start[om] + csr.cnt[om] - 1]
+                rec = bs_nz[:-1][om] + 5 * pairs_nz[om]
+                for t in range(3):
+                    out[rec + t] = ((v >> np.uint64(8 * t))
+                                    & np.uint64(0xFF)).astype(np.uint8)
+            out.tofile(f)
+        acc.bad.astype(np.uint32).tofile(f)
+
+
+def _stream_nonzero_lens(f, n_words: int):
+    """Stream the dense counts table; return sparse (nz_words, counts)."""
+    nz_parts, cnt_parts = [], []
+    CH = 1 << 24
+    base = 0
+    while base < n_words:
+        buf = np.fromfile(f, np.uint32, min(CH, n_words - base))
+        idx = np.nonzero(buf)[0]
+        if idx.size:
+            nz_parts.append((base + idx).astype(np.int64))
+            cnt_parts.append(buf[idx].astype(np.int64))
+        base += len(buf)
+    if nz_parts:
+        return np.concatenate(nz_parts), np.concatenate(cnt_parts)
+    return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
 
 def read_acx(path: str, k: int | None = None, z_required: int = 1
              ) -> Accelerator:
-    """Read a .acx (ours or the reference's; SMALL or LARGE format)."""
+    """Read a .acx (ours or the reference's; SMALL or LARGE format).
+
+    The 4^k counts table is streamed in chunks and kept sparse; only
+    the nonzero words survive in memory (see SparseCSR).
+    """
+    import os
+    fsize = os.path.getsize(path)
     with open(path, "rb") as f:
-        data = f.read()
-    cb = data[0]
-    ver = cb & 0xF
-    did_z = (cb >> 6) & 1
-    if cb < 128 or ver not in (ACC_VERSION, ACC_VERSION_BIG):
-        raise ValueError(f"ERROR: invalid accelerator [{cb}:{ver}]")
-    if did_z and not z_required:
-        raise ValueError("ERROR: Accelerator built without '-y'; "
-                         "can't use '-y'")
-    bad_sz = int(np.frombuffer(data, np.uint32, 1, 1)[0])
-    if k is None:
-        # infer k from the file size: 1 + 4 + 4*4^k + payload + badlist
-        for kk in (16, 15, 14, 13, 12, 11, 10):
+        head = f.read(5)
+        cb = head[0]
+        ver = cb & 0xF
+        did_z = (cb >> 6) & 1
+        if cb < 128 or ver not in (ACC_VERSION, ACC_VERSION_BIG):
+            raise ValueError(f"ERROR: invalid accelerator [{cb}:{ver}]")
+        if did_z and not z_required:
+            raise ValueError("ERROR: Accelerator built without '-y'; "
+                             "can't use '-y'")
+        bad_sz = int(np.frombuffer(head, np.uint32, 1, 1)[0])
+        kk_list = [k] if k is not None else [16, 15, 14, 13, 12, 11, 10]
+        nzw = cnt = None
+        for kk in kk_list:
             hdr = 5 + 4 * (1 << (2 * kk))
-            if len(data) < hdr:
+            if fsize < hdr:
                 continue
-            lens = np.frombuffer(data, np.uint32, 1 << (2 * kk), 5)
-            total = int(lens.sum(dtype=np.int64))
+            f.seek(5)
+            nzw, cnt = _stream_nonzero_lens(f, 1 << (2 * kk))
             if ver == ACC_VERSION_BIG:
-                need = total * 3
+                need = int(cnt.sum()) * 3
             else:
-                need = int(((lens // 2) * 5 + (lens & 1) * 3)
-                           .sum(dtype=np.int64))
-            if hdr + need + 4 * bad_sz == len(data):
+                need = int(((cnt >> 1) * 5 + (cnt & 1) * 3).sum())
+            if hdr + need + 4 * bad_sz == fsize:
                 k = kk
                 break
-        else:
+            nzw = cnt = None
+        if nzw is None:
             raise ValueError("cannot infer accelerator k")
-    n_words = 1 << (2 * k)
-    lens = np.frombuffer(data, np.uint32, n_words, 5).astype(np.int64)
-    off = 5 + 4 * n_words
-    offsets = np.zeros(n_words + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    total = int(offsets[-1])
-    ids = np.zeros(total, dtype=np.uint32)
-    if ver == ACC_VERSION_BIG:
-        raw = np.frombuffer(data, np.uint8, total * 3, off
-                            ).reshape(total, 3).astype(np.uint32)
-        ids = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
-        off += total * 3
-    else:
-        # vectorized SMALL decode: per word, len//2 5-byte pair records
-        # then an optional 3-byte tail
-        pairs = lens // 2
-        odd = (lens & 1).astype(np.int64)
-        blen = pairs * 5 + odd * 3
-        bstart = np.zeros(n_words + 1, dtype=np.int64)
-        np.cumsum(blen, out=bstart[1:])
-        raw = np.frombuffer(data, np.uint8, int(bstart[-1]), off)
-        off += int(bstart[-1])
-        # pair records
-        n_pairs = int(pairs.sum())
-        if n_pairs:
-            w_rep = np.repeat(np.arange(n_words), pairs)
-            within = np.arange(n_pairs) - np.repeat(
-                np.concatenate(([0], np.cumsum(pairs)[:-1])), pairs)
-            rec = bstart[w_rep] + 5 * within
-            b0 = raw[rec].astype(np.uint64)
-            b1 = raw[rec + 1].astype(np.uint64)
-            b2 = raw[rec + 2].astype(np.uint64)
-            b3 = raw[rec + 3].astype(np.uint64)
-            b4 = raw[rec + 4].astype(np.uint64)
-            bay = b0 | (b1 << np.uint64(8)) | (b2 << np.uint64(16)) | \
-                (b3 << np.uint64(24)) | (b4 << np.uint64(32))
-            dst = offsets[w_rep] + 2 * within
-            ids[dst] = (bay & np.uint64(0xFFFFF)).astype(np.uint32)
-            ids[dst + 1] = ((bay >> np.uint64(20)) &
-                            np.uint64(0xFFFFF)).astype(np.uint32)
-        # odd tails
-        ow = np.nonzero(odd)[0]
-        if ow.size:
-            rec = bstart[ow] + 5 * pairs[ow]
-            v = (raw[rec].astype(np.uint32)
-                 | (raw[rec + 1].astype(np.uint32) << 8)
-                 | (raw[rec + 2].astype(np.uint32) << 16))
-            ids[offsets[ow + 1] - 1] = v
-    bad = np.frombuffer(data, np.uint32, bad_sz, off).copy()
-    return Accelerator(k, offsets, ids, bad, int(did_z))
+        total = int(cnt.sum())
+        start = np.concatenate(([0], np.cumsum(cnt)[:-1])).astype(np.int64) \
+            if len(cnt) else np.zeros(0, np.int64)
+        ids = np.zeros(total, dtype=np.uint32)
+        if ver == ACC_VERSION_BIG:
+            raw = np.fromfile(f, np.uint8, total * 3
+                              ).reshape(total, 3).astype(np.uint32)
+            ids = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        else:
+            # vectorized SMALL decode on the sparse nonzero words: per
+            # word, len//2 5-byte pair records + optional 3-byte tail
+            pairs_nz = cnt >> 1
+            odd_nz = cnt & 1
+            blen_nz = pairs_nz * 5 + odd_nz * 3
+            bs_nz = np.concatenate(([0], np.cumsum(blen_nz)))
+            raw = np.fromfile(f, np.uint8, int(bs_nz[-1]))
+            n_pairs = int(pairs_nz.sum())
+            if n_pairs:
+                pm = pairs_nz > 0
+                ppw = pairs_nz[pm]
+                within = np.arange(n_pairs) - np.repeat(
+                    np.concatenate(([0], np.cumsum(ppw)[:-1])), ppw)
+                rec = np.repeat(bs_nz[:-1][pm], ppw) + 5 * within
+                b0 = raw[rec].astype(np.uint64)
+                b1 = raw[rec + 1].astype(np.uint64)
+                b2 = raw[rec + 2].astype(np.uint64)
+                b3 = raw[rec + 3].astype(np.uint64)
+                b4 = raw[rec + 4].astype(np.uint64)
+                bay = b0 | (b1 << np.uint64(8)) | (b2 << np.uint64(16)) | \
+                    (b3 << np.uint64(24)) | (b4 << np.uint64(32))
+                dst = np.repeat(start[pm], ppw) + 2 * within
+                ids[dst] = (bay & np.uint64(0xFFFFF)).astype(np.uint32)
+                ids[dst + 1] = ((bay >> np.uint64(20)) &
+                                np.uint64(0xFFFFF)).astype(np.uint32)
+            om = odd_nz > 0
+            if om.any():
+                rec = bs_nz[:-1][om] + 5 * pairs_nz[om]
+                v = (raw[rec].astype(np.uint32)
+                     | (raw[rec + 1].astype(np.uint32) << 8)
+                     | (raw[rec + 2].astype(np.uint32) << 16))
+                ids[start[om] + cnt[om] - 1] = v
+        bad = np.fromfile(f, np.uint32, bad_sz)
+    return Accelerator(k, SparseCSR(nzw, cnt, ids), bad, int(did_z))
 
 
 # ---------------------------------------------------------------- scour
@@ -337,12 +493,11 @@ def scour_candidates(acc: Accelerator, words: np.ndarray, n_clumps: int
     if words.size == 0:
         return (np.zeros(0, np.int64),) * 2
     uw, mult = np.unique(words, return_counts=True)
-    seg_len = (acc.offsets[uw + 1] - acc.offsets[uw]).astype(np.int64)
+    starts, seg_len = acc.csr.lookup(uw)
     total = int(seg_len.sum())
     if total == 0:
         return (np.zeros(0, np.int64),) * 2
     # flatten postings of all query words
-    starts = acc.offsets[uw]
     base = np.repeat(starts - np.concatenate(
         ([0], np.cumsum(seg_len)[:-1])), seg_len)
     flat = base + np.arange(total)

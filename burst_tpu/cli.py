@@ -195,14 +195,13 @@ def run(a) -> int:
         taxonomy = Taxonomy.parse(a["tax"], ncbi=a["taxa_ncbi"])
 
     visits = None
-    pairs = None
     if a["accel"]:
         from .accel import read_acx
         from .process import bin_queries_for_accel
         acc = read_acx(a["accel"], z_required=a["z"])
         qbins = bin_queries_for_accel(qd, acc.k, a["z"], a["heur"])
         visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"])
-        ed, pairs = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
+        ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
     elif a["shards"] > 1:
         from .parallel.mesh import compute_ed_matrix_sharded
         ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])
@@ -212,9 +211,11 @@ def run(a) -> int:
     with open(a["out"], "w") as fh:
         writer = modes.B6Writer(fh)
         if a["mode"] == "ANY":
+            if isinstance(ed, engine.SparseED):
+                ed = engine.densify(ed, len(qd.seqs), rd.tot_units)
             modes.report_any(ed, qd, rd, writer, smat)
             return 0
-        juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"], pairs)
+        juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
         pod_order = None
         if visits is not None:
             pod_order = engine.accel_pod_order(qd, rd, visits, juni,

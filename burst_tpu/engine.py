@@ -17,7 +17,9 @@ import numpy as np
 
 from .alphabet import score_matrix
 from .kernels import myers
-from .kernels.rescore import rescore_pairs, rescore_pairs_gather  # noqa: F401
+from .kernels.rescore import (  # noqa: F401
+    rescore_finalize, rescore_pairs, rescore_pairs_gather,
+    rescore_pairs_gather_async)
 from .process import QueryData, RefData
 
 VECSZ = 16  # the reference's clump width; defines pod ordering only
@@ -90,9 +92,8 @@ def _tile_matrix(rd: RefData, lb: int, positions: np.ndarray, pad: int):
     for i, p in enumerate(positions):
         s = rd.seqs[rd.ix_srt[p]]
         mat[i, : len(s)] = s
-    pos2row = {}
-    for i, p in enumerate(positions):
-        pos2row[int(p)] = i
+    pos2row = np.full(rd.tot_units, -1, dtype=np.int64)
+    pos2row[positions] = np.arange(len(positions))
     cache[key] = (mat, pos2row)
     return cache[key]
 
@@ -177,6 +178,7 @@ def compute_ed_matrix(qd: QueryData, rd: RefData,
     qbuckets = _bucket_queries(qd)
     ubuckets = _bucket_units(rd)
     qmat, qlens_all, _ = _query_matrix(qd)
+    pending = []
     for W, rows in sorted(qbuckets.items()):
         m_pad = W * 32
         rows_a = np.array(rows, dtype=np.int64)
@@ -192,11 +194,13 @@ def compute_ed_matrix(qd: QueryData, rd: RefData,
                 for t0 in range(0, len(poss), tchunk):
                     tb = _pad_rows(tiles[t0:t0 + tchunk], tchunk)
                     block = myers.myers_min_ed_cross(pq, tb, W)
-                    block = np.minimum(np.asarray(block), 255).astype(np.uint8)
                     nq = min(qchunk, len(rows) - q0)
                     nt = min(tchunk, len(poss) - t0)
-                    ed[np.ix_(rows[q0:q0 + nq], poss[t0:t0 + nt])] = \
-                        block[:nq, :nt]
+                    pending.append((rows[q0:q0 + nq], poss[t0:t0 + nt],
+                                    block, nq, nt))
+    for rws, pss, block, nq, nt in pending:
+        block = np.minimum(np.asarray(block), 255).astype(np.uint8)
+        ed[np.ix_(rws, pss)] = block[:nq, :nt]
     return ed
 
 
@@ -216,26 +220,25 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def select_pods(qd: QueryData, rd: RefData, ed: np.ndarray, mode: str,
-                pairs: tuple[np.ndarray, np.ndarray] | None = None):
+def select_pods(qd: QueryData, rd: RefData, ed, mode: str,
+                pairs=None):
     """Apply budgets and tie selection; return winner (juni, refpos, ed).
 
-    With `pairs` (the evaluated (juni, refpos) lists from the accel
-    path), selection runs on the sparse pair arrays instead of the dense
-    matrix.
+    `ed` is either the dense [numUnibins, tot_units] matrix or a
+    SparseED from the accel path (in which case selection runs on the
+    sparse pair arrays; the legacy `pairs` argument is ignored).
     """
     nu = qd.num_uniq
     budgets = qd.ed  # [numUniq]
-    if pairs is not None:
-        pj, pp, full_rows = pairs
-        pe = ed[pj, pp].astype(np.int64)
+    if isinstance(ed, SparseED):
+        pj, pp, pe = ed.pj, ed.pp, ed.pe.astype(np.int64)
         six = qd.six[pj]
-        frows = np.asarray(full_rows, dtype=np.int64)
+        frows = np.asarray(ed.full_rows, dtype=np.int64)
+        sub = ed.ed_full
         if mode == "FORAGE":
             keep = pe <= budgets[six]
             out = [(pj[keep], pp[keep], pe[keep])]
             if frows.size:
-                sub = ed[frows]
                 mask = sub <= budgets[qd.six[frows]][:, None]
                 r, c = np.nonzero(mask)
                 out.append((frows[r], c.astype(np.int64),
@@ -244,7 +247,6 @@ def select_pods(qd: QueryData, rd: RefData, ed: np.ndarray, mode: str,
             best = np.full(nu, 255, dtype=np.int64)
             np.minimum.at(best, six, pe)
             if frows.size:
-                sub = ed[frows]
                 np.minimum.at(best, qd.six[frows],
                               sub.min(axis=1).astype(np.int64))
             keep = (pe == best[six]) & (pe <= budgets[six])
@@ -294,7 +296,8 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
     else:
         bound = out_ed
 
-    # bucket pairs like phase A
+    # bucket pairs like phase A; dispatch all chunks, sync at the end
+    pending = []
     order = np.arange(n)
     qmat, qlens_all, qw_all = _query_matrix(qd)
     qws = qw_all[juni] if n else np.zeros(0, np.int64)
@@ -306,8 +309,7 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
             lp = int(lb) + m_pad
             lp = -(-lp // 64) * 64
             pos2row, tiles_dev = _tiles_device(rd, int(lb), lp - int(lb))
-            trows = np.array([pos2row[int(p)] for p in refpos[sel]],
-                             dtype=np.int64)
+            trows = pos2row[refpos[sel]]
             # canonical batch height: pow2-padded, chunked at QCHUNK
             row2local, peq_dev = _peq_device(qd, int(W), smat)
             prows = row2local[juni[sel]]
@@ -322,15 +324,18 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
                 qlens[: len(part)] = qlens_all[juni[part]]
                 bnd = np.zeros(pchunk, np.int64)
                 bnd[: len(part)] = bound[part]
-                e, gq, gr, fp, sc = rescore_pairs_gather(
+                dev = rescore_pairs_gather_async(
                     peq_dev, tiles_dev, pidx, tidx, qlens, bnd,
                     int(W), smat)
-                n = len(part)
-                gap_q[part] = gq[:n]
-                gap_r[part] = gr[:n]
-                fpos[part] = fp[:n]
-                score[part] = sc[:n]
-                out_ed[part] = e[:n]
+                pending.append((part, qlens, dev))
+    for part, qlens, dev in pending:
+        e, gq, gr, fp, sc = rescore_finalize(dev, qlens)
+        n = len(part)
+        gap_q[part] = gq[:n]
+        gap_r[part] = gr[:n]
+        fpos[part] = fp[:n]
+        score[part] = sc[:n]
+        out_ed[part] = e[:n]
 
     # Reference pod ordering: single-thread full-path insertion order is
     # (clump asc, query-row asc, lane asc) head-inserted, i.e. iteration
@@ -356,30 +361,63 @@ def align(qd: QueryData, rd: RefData, mode: str,
 
 # ------------------------------------------------------------ accel path
 
-def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
-                     do_heur: bool = False):
-    """Per-unibin candidate clump visit lists (burst.c:4077-4136).
+@dataclasses.dataclass
+class Visits:
+    """CSR candidate clump visit lists per unibin (burst.c:4077-4136).
 
-    Returns (visits, eval_rows): visits[j] is the ordered clump visit
-    list for unibin j (pigeonhole-filtered candidates sorted by hit
-    count descending with stable first-touch tie order, then the
-    BadList); unibins in [qbins[1], n) get visits[j] = None meaning the
-    full scan covers them.
+    flat[offs[j]:offs[j+1]] is the ordered visit list for unibin j
+    (pigeonhole-filtered candidates sorted by hit count descending with
+    stable first-touch tie order, then the BadList). Unibins with
+    full[j] = True have empty segments and are covered by the full scan.
     """
+    flat: np.ndarray       # concatenated clump ids
+    offs: np.ndarray       # [n+1]
+    full: np.ndarray       # [n] bool
+    # sound per-unit prefilter (see accel.build_unit_index); pairs for
+    # `filtered` unibins are evaluated only if their key is in
+    # `pass_keys` or the unit belongs to a BadList clump
+    pass_keys: np.ndarray | None = None   # sorted j*tot_units+unitpos
+    filtered: np.ndarray | None = None    # [n] bool
+    bad_clump: np.ndarray | None = None   # [n_clumps] bool
+
+    def get(self, j: int):
+        if self.full[j]:
+            return None
+        return self.flat[int(self.offs[j]): int(self.offs[j + 1])]
+
+
+@dataclasses.dataclass
+class SparseED:
+    """Phase-A results: sparse pair EDs + dense block for full-scan rows."""
+    pj: np.ndarray         # [P] unibin row per pair
+    pp: np.ndarray         # [P] sorted-unit position per pair
+    pe: np.ndarray         # [P] int64 min ED (<=255)
+    full_rows: np.ndarray  # unibins covered by the dense block
+    ed_full: np.ndarray    # [len(full_rows), tot_units] uint8
+
+
+def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
+                     do_heur: bool = False) -> Visits:
+    """Build per-unibin candidate visit lists (vectorized host pass)."""
     from .accel import query_words
 
     k = acc.k
     n = len(qd.seqs)
     n_clumps = rd.tot_units // VECSZ + (1 if rd.tot_units % VECSZ else 0)
-    bad = list(int(b) for b in acc.bad)
-    visits: list[list[int] | None] = [None] * n
+    bad_arr = np.asarray(acc.bad, dtype=np.int64)
+    nb = len(bad_arr)
     b0, b1 = int(qbins[0]), int(qbins[1])
+    full = np.ones(n, dtype=bool)
+    full[:b1] = False
+
+    def _bad_only() -> Visits:
+        offs = np.zeros(n + 1, dtype=np.int64)
+        offs[1: b1 + 1] = np.arange(1, b1 + 1) * nb
+        offs[b1 + 1:] = b1 * nb
+        return Visits(flat=np.tile(bad_arr, b1), offs=offs, full=full)
 
     # word multisets of all accelerator-eligible unibins, batched
-    bad_arr = np.asarray(bad, dtype=np.int64)
     qidx_parts, word_parts = [], []
-    for j in range(b1):
-        visits[j] = bad_arr            # default: BadList only
     # ambiguous unibins: per-query expansion (few)
     for j in range(b0):
         words = query_words(qd.seqs[j], k, acc.z, ambiguous=True)
@@ -397,23 +435,24 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
             if ln < k:
                 continue
             sub = qmat[rows, :ln].astype(np.int64) - 1
-            win = np.lib.stride_tricks.sliding_window_view(sub, k, axis=1)
-            words = (win * pw).sum(axis=2)          # [R, ln-k+1]
-            qidx_parts.append(np.repeat(rows, ln - k + 1))
+            nwin = ln - k + 1
+            words = np.zeros((len(rows), nwin), dtype=np.int64)
+            for t in range(k):                       # k passes, no 3-D temp
+                words += sub[:, t: t + nwin] * pw[t]
+            qidx_parts.append(np.repeat(rows, nwin))
             word_parts.append(words.ravel())
     if not qidx_parts:
-        return visits
+        return _bad_only()
     qidx = np.concatenate(qidx_parts)
     words = np.concatenate(word_parts)
     span = np.int64(1) << np.int64(2 * k)
     ukey, mult = np.unique(qidx * span + words, return_counts=True)
     uq = ukey // span
     uw = ukey % span
-    seg = (acc.offsets[uw + 1] - acc.offsets[uw]).astype(np.int64)
+    starts, seg = acc.csr.lookup(uw)
     total = int(seg.sum())
     if total == 0:
-        return visits
-    starts = acc.offsets[uw]
+        return _bad_only()
     base = np.repeat(starts - np.concatenate(
         ([0], np.cumsum(seg)[:-1])), seg)
     flat = base + np.arange(total)
@@ -421,8 +460,17 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
     qrep = np.repeat(uq, seg)
     wgt = np.repeat(mult, seg)
     pkey = qrep * n_clumps + cl
-    u2, first, inv = np.unique(pkey, return_index=True, return_inverse=True)
-    hits = np.bincount(inv, weights=wgt).astype(np.int64)
+    # group-by via one stable argsort (first occurrence = group head)
+    so = np.argsort(pkey, kind="stable")
+    ps = pkey[so]
+    head = np.empty(len(ps), dtype=bool)
+    head[0] = True
+    np.not_equal(ps[1:], ps[:-1], out=head[1:])
+    u2 = ps[head]
+    gid = np.cumsum(head) - 1
+    hits = np.bincount(gid, weights=wgt[so].astype(np.float64)
+                       ).astype(np.int64)
+    first = so[np.nonzero(head)[0]]
     np.minimum(hits, 0xFFFF, out=hits)
     pq = (u2 // n_clumps).astype(np.int64)
     pc = (u2 % n_clumps).astype(np.int64)
@@ -436,63 +484,118 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
         mm_bunch = np.maximum(mm_bunch, (lns >> 4) + 1)
     mm_inner = np.where(kload < lns, lns - kload, 1)
 
-    # group rows by query (u2 is query-major sorted)
-    grp_start = np.searchsorted(pq, np.arange(b1))
-    grp_end = np.searchsorted(pq, np.arange(b1) + 1)
-    for j in range(b1):
-        a, b = int(grp_start[j]), int(grp_end[j])
-        if a == b:
-            continue
-        h = hits[a:b]
-        keep = (h > mm_bunch[j]) & (h > mm_inner[j])
-        if not keep.any():
-            continue
-        cand = pc[a:b][keep]
-        cnt = h[keep]
-        ft = first[a:b][keep]
-        srt = np.lexsort((ft, -cnt))
-        visits[j] = np.concatenate([cand[srt], bad_arr])
-    return visits
+    keep = (hits > mm_bunch[pq]) & (hits > mm_inner[pq])
+    kq = pq[keep]
+    srt = np.lexsort((first[keep], -hits[keep], kq))
+    kq = kq[srt]
+    kc = pc[keep][srt]
+    cands_per_q = np.bincount(kq, minlength=b1)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    offs[1: b1 + 1] = np.cumsum(cands_per_q + nb)
+    offs[b1 + 1:] = offs[b1]
+    out = np.empty(int(offs[b1]), dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(cands_per_q)))
+    out[offs[kq] + (np.arange(len(kq)) - csum[kq])] = kc
+    if nb:
+        dst = (offs[:b1, None] + cands_per_q[:, None] +
+               np.arange(nb)[None, :]).ravel()
+        out[dst] = np.tile(bad_arr, b1)
+    vis = Visits(flat=out, offs=offs, full=full)
+
+    # sound per-unit prefilter for clear unibins (q-gram pigeonhole at
+    # unit granularity; cannot drop any winner -- see build_unit_index).
+    # Disabled under -hr whose clump-level cut is already non-optimal:
+    # lane-level pruning there could change the (heuristic) output.
+    if not do_heur and rd_acc_unit_index(rd, acc):
+        clear_q = (uq >= b0)       # ambiguous unibins stay unfiltered
+        ustarts, useg = acc.u_csr.lookup(uw)
+        useg = np.where(clear_q, useg, 0)
+        totalu = int(useg.sum())
+        filtered = np.zeros(n, dtype=bool)
+        filtered[b0:b1] = True
+        if totalu:
+            ubase = np.repeat(ustarts - np.concatenate(
+                ([0], np.cumsum(useg)[:-1])), useg)
+            uflat = ubase + np.arange(totalu)
+            up = acc.u_csr.ids[uflat].astype(np.int64)
+            uqrep = np.repeat(uq, useg)
+            uwgt = np.repeat(mult, useg)
+            pkey2 = uqrep * rd.tot_units + up
+            so2 = np.argsort(pkey2, kind="stable")
+            ps2 = pkey2[so2]
+            head2 = np.empty(len(ps2), dtype=bool)
+            head2[0] = True
+            np.not_equal(ps2[1:], ps2[:-1], out=head2[1:])
+            gid2 = np.cumsum(head2) - 1
+            uhits = np.bincount(gid2, weights=uwgt[so2].astype(np.float64)
+                                ).astype(np.int64)
+            ukeys = ps2[head2]
+            uq2 = ukeys // rd.tot_units
+            passing = uhits > mm_inner[uq2]
+            vis.pass_keys = ukeys[passing]
+        else:
+            vis.pass_keys = np.zeros(0, dtype=np.int64)
+        vis.filtered = filtered
+        bad_clump = np.zeros(n_clumps, dtype=bool)
+        bad_clump[bad_arr] = True
+        vis.bad_clump = bad_clump
+    return vis
 
 
-def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits,
-                            smat: np.ndarray | None = None):
-    """Phase A over candidate pairs only; unevaluated pairs stay 255.
+def rd_acc_unit_index(rd: RefData, acc) -> bool:
+    """Ensure the unit-granular index exists (built once per (rd, acc))."""
+    from .accel import build_unit_index
+    build_unit_index(rd, acc)
+    return acc.u_csr is not None
 
-    Dense unibin-major batches: all (unibin, candidate-unit) pairs are
-    flattened and run through the paired Myers kernel in canonical
-    chunks. Returns (ed_matrix, (pair_rows, pair_cols, full_rows)) so
-    selection can stay sparse.
-    """
+
+def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits: Visits,
+                            smat: np.ndarray | None = None) -> SparseED:
+    """Phase A over candidate pairs only (sparse); full scan for the rest."""
     if smat is None:
         smat = score_matrix()
     nj = len(qd.seqs)
-    ed = np.full((nj, rd.tot_units), 255, dtype=np.uint8)
-    # full scan for unibins without visit lists
-    full_rows = [j for j in range(nj) if visits[j] is None]
-    if full_rows:
-        sub = _subset_qd(qd, full_rows)
-        edf = compute_ed_matrix(sub, rd, smat)
-        ed[full_rows] = edf
-    # pair list for accel unibins
-    pj_parts, pp_parts = [], []
-    lane = np.arange(VECSZ, dtype=np.int64)
-    for j in range(nj):
-        v = visits[j]
-        if v is None or len(v) == 0:
-            continue
-        ps = (np.asarray(v, dtype=np.int64)[:, None] * VECSZ + lane).ravel()
-        ps = ps[ps < rd.tot_units]
-        pp_parts.append(ps)
-        pj_parts.append(np.full(len(ps), j, dtype=np.int64))
-    if pj_parts:
-        pj = np.concatenate(pj_parts)
-        pp = np.concatenate(pp_parts)
-        eds = _pairs_min_ed(qd, rd, pj, pp, smat)
-        ed[pj, pp] = np.minimum(eds, 255).astype(np.uint8)
+    full_rows = np.nonzero(visits.full)[0]
+    if len(full_rows):
+        sub = _subset_qd(qd, list(full_rows))
+        ed_full = compute_ed_matrix(sub, rd, smat)
     else:
-        pj = pp = np.zeros(0, dtype=np.int64)
-    return ed, (pj, pp, np.asarray(full_rows, dtype=np.int64))
+        ed_full = np.zeros((0, rd.tot_units), dtype=np.uint8)
+    # expand visit clumps into 16-lane unit pairs, all-vectorized
+    nvis = visits.offs[1:] - visits.offs[:-1]
+    qrep = np.repeat(np.arange(nj, dtype=np.int64), nvis)
+    lane = np.arange(VECSZ, dtype=np.int64)
+    ps = (visits.flat[:, None] * VECSZ + lane).ravel()
+    pjj = np.repeat(qrep, VECSZ)
+    mask = ps < rd.tot_units
+    pj, pp = pjj[mask], ps[mask]
+    if visits.pass_keys is not None and len(pj):
+        # sound lane-level pruning: keep unfiltered unibins, BadList
+        # clump units, and pairs passing the per-unit pigeonhole bound
+        key = pj * rd.tot_units + pp
+        loc = np.searchsorted(visits.pass_keys, key)
+        np.minimum(loc, max(len(visits.pass_keys) - 1, 0), out=loc)
+        hit = (visits.pass_keys[loc] == key) if len(visits.pass_keys) \
+            else np.zeros(len(key), dtype=bool)
+        keep = (~visits.filtered[pj]) | visits.bad_clump[pp // VECSZ] | hit
+        pj, pp = pj[keep], pp[keep]
+    if len(pj):
+        pe = _pairs_min_ed(qd, rd, pj, pp, smat)
+        np.minimum(pe, 255, out=pe)
+    else:
+        pe = np.zeros(0, dtype=np.int64)
+    return SparseED(pj=pj, pp=pp, pe=pe, full_rows=full_rows,
+                    ed_full=ed_full)
+
+
+def densify(sed: SparseED, nj: int, tot_units: int) -> np.ndarray:
+    """Dense [nj, tot_units] matrix from SparseED (unevaluated = 255)."""
+    ed = np.full((nj, tot_units), 255, dtype=np.uint8)
+    if len(sed.full_rows):
+        ed[sed.full_rows] = sed.ed_full
+    if len(sed.pj):
+        ed[sed.pj, sed.pp] = sed.pe.astype(np.uint8)
+    return ed
 
 
 def _subset_qd(qd: QueryData, rows: list[int]) -> QueryData:
@@ -506,19 +609,24 @@ def _subset_qd(qd: QueryData, rows: list[int]) -> QueryData:
 
 def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
                   pp: np.ndarray, smat: np.ndarray) -> np.ndarray:
-    """Paired phase A (burst.c accel inner loop): bucketed like rescore."""
+    """Paired phase A (burst.c accel inner loop): bucketed like rescore.
+
+    All kernel chunks are dispatched asynchronously and converted to
+    host arrays only at the end -- per-chunk syncs serialize on the
+    device round-trip latency and dominate wall time otherwise.
+    """
     n = len(pj)
     out = np.full(n, 255, dtype=np.int64)
     qmat, qlens_all, qw_all = _query_matrix(qd)
     qws = qw_all[pj]
     lbs = _unit_lb(rd)[pp]
     order = np.arange(n)
+    pending = []                     # (part, device result)
     for W in np.unique(qws):
         for lb in np.unique(lbs[qws == W]):
             sel = order[(qws == W) & (lbs == lb)]
             pos2row, tiles_dev = _tiles_device(rd, int(lb), 32)
-            trows = np.array([pos2row[int(p)] for p in pp[sel]],
-                             dtype=np.int64)
+            trows = pos2row[pp[sel]]
             row2local, peq_dev = _peq_device(qd, int(W), smat)
             prows = row2local[pj[sel]]
             pchunk = min(QCHUNK * 4, _pow2_ceil(len(sel)))
@@ -528,31 +636,37 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
                 tidx = np.zeros(pchunk, np.int32)
                 pidx[: len(part)] = prows[s0:s0 + pchunk]
                 tidx[: len(part)] = trows[s0:s0 + pchunk]
-                res = np.asarray(myers.myers_min_ed_gather(
-                    peq_dev, tiles_dev, pidx, tidx, int(W)))
-                out[part] = res[: len(part)]
+                pending.append((part, myers.myers_min_ed_gather(
+                    peq_dev, tiles_dev, pidx, tidx, int(W))))
+    for part, res in pending:
+        out[part] = np.asarray(res)[: len(part)]
     return out
 
 
-def accel_pod_order(qd: QueryData, rd: RefData, visits, juni, refpos, eds):
+def accel_pod_order(qd: QueryData, rd: RefData, visits: Visits,
+                    juni, refpos, eds):
     """Order winner pods like the reference accel path's linked lists:
     per base query, forward-strand pods then reverse (fold at
     burst.c:4299-4312), each block in reverse insertion order
     (clump visit rank desc, lane desc)."""
     n = len(juni)
-    rank = np.zeros(n, dtype=np.int64)
-    rank_maps: dict[int, dict[int, int]] = {}
-    for ix in range(n):
-        j = int(juni[ix])
-        v = visits[j]
-        c = int(refpos[ix]) // VECSZ
-        if v is None:
-            rank[ix] = -1 - c  # full-path block: clump desc == rank asc
-        else:
-            rm = rank_maps.get(j)
-            if rm is None:
-                rm = rank_maps[j] = {int(cc): r for r, cc in enumerate(v)}
-            rank[ix] = rm[c]
+    nj = len(visits.full)
+    n_clumps = rd.tot_units // VECSZ + (1 if rd.tot_units % VECSZ else 0)
+    # per-unibin visit rank lookup via sorted (unibin, clump) keys
+    nvis = visits.offs[1:] - visits.offs[:-1]
+    vq = np.repeat(np.arange(nj, dtype=np.int64), nvis)
+    vrank = np.arange(len(visits.flat), dtype=np.int64) - visits.offs[vq]
+    vkey = vq * n_clumps + visits.flat
+    so = np.argsort(vkey)
+    vkey_s, vrank_s = vkey[so], vrank[so]
+    clump = refpos // VECSZ
+    rank = np.empty(n, dtype=np.int64)
+    pod_full = visits.full[juni]
+    rank[pod_full] = -1 - clump[pod_full]  # full-path: clump desc == rank asc
+    acc_ix = np.nonzero(~pod_full)[0]
+    if acc_ix.size:
+        key = juni[acc_ix] * n_clumps + clump[acc_ix]
+        rank[acc_ix] = vrank_s[np.searchsorted(vkey_s, key)]
     lane = refpos % VECSZ
     is_rc = qd.rc[juni].astype(np.int64)
     # full-path pods (rank<0) keep full-path ordering among themselves;

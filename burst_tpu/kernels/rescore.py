@@ -46,8 +46,9 @@ DEAD = 511          # uniform "dead" score (reference: saturated 255)
 def make_rescore(smat_np: np.ndarray):
     """Build a jitted rescore closed over a scoring matrix."""
 
-    @functools.partial(jax.jit, static_argnames=("W",))
-    def rescore_batch(peq, qlens, tiles, max_ed, W: int):
+    @functools.partial(jax.jit, static_argnames=("W", "levels"))
+    def rescore_batch(peq, qlens, tiles, max_ed, W: int,
+                      levels: int | None = None):
         P, Lp = tiles.shape
         m_pad = W * 32
         assert Lp <= 7679 and m_pad <= 256, "packed rescore range"
@@ -114,7 +115,12 @@ def make_rescore(smat_np: np.ndarray):
             key = pack(jnp.minimum(bs, DEAD + 1), bg, xs)
             pay = (xs * jnp.ones((P, 1), jnp.int32) << jnp.int32(9)) | br
             d_shift = 1
-            while d_shift < L1:
+            # A left-gap chain longer than the largest error budget is
+            # dead after the >= bad clamp, so the prefix selection only
+            # needs a look-back window of max(max_ed)+1 columns
+            # (burst.c:762-770: runs >= the budget saturate the same way).
+            d_stop = L1 if levels is None else min(L1, 1 << levels)
+            while d_shift < d_stop:
                 kpad = jnp.full((P, d_shift), neg_inf_key, jnp.int32)
                 ppad = jnp.zeros((P, d_shift), jnp.int32)
                 ks = jnp.concatenate([kpad, key[:, :-d_shift]], axis=1)
@@ -163,30 +169,57 @@ def make_rescore_gather(smat_np: np.ndarray):
     if core is None:
         core = _CACHE[smat_np.tobytes()] = make_rescore(smat_np)
 
-    @functools.partial(jax.jit, static_argnames=("W",))
-    def fn(peq_all, tiles_all, pidx, tidx, qlens, max_ed, W: int):
+    @functools.partial(jax.jit, static_argnames=("W", "levels"))
+    def fn(peq_all, tiles_all, pidx, tidx, qlens, max_ed, W: int,
+           levels: int | None = None):
         peq = jnp.take(peq_all, pidx, axis=0)
         tiles = jnp.take(tiles_all, tidx, axis=0)
-        return core(peq, qlens, tiles, max_ed, W)
+        return core(peq, qlens, tiles, max_ed, W, levels)
 
     return fn
+
+
+def _levels_for(max_ed: np.ndarray) -> int:
+    """Hillis-Steele doublings covering a max(max_ed)+1 look-back window."""
+    need = int(max_ed.max()) + 2 if len(max_ed) else 2
+    lv = 1
+    while (1 << lv) < need:
+        lv += 1
+    return lv
+
+
+def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
+                               max_ed, W: int, smat: np.ndarray):
+    """Dispatch a device-gather rescore chunk; returns device arrays.
+
+    Finalize with `rescore_finalize` after all chunks are dispatched so
+    syncs pipeline instead of serializing on device round-trips.
+    """
+    key = smat.tobytes()
+    fn = _GCACHE.get(key)
+    if fn is None:
+        fn = _GCACHE[key] = make_rescore_gather(smat)
+    return fn(peq_all, tiles_all, jnp.asarray(pidx.astype(np.int32)),
+              jnp.asarray(tidx.astype(np.int32)),
+              jnp.asarray(qlens.astype(np.int32)),
+              jnp.asarray(max_ed.astype(np.int32)), W,
+              _levels_for(max_ed))
+
+
+def rescore_finalize(out, qlens: np.ndarray):
+    """Host conversion + float32 identity (burst.c:844-860 semantics)."""
+    ed, gq, gr, fp = (np.asarray(o) for o in out)
+    score = np.float32(1.0) - ed.astype(np.float32) / (
+        qlens.astype(np.int64) + gq).astype(np.float32)
+    return ed, gq, gr, fp, score.astype(np.float32)
 
 
 def rescore_pairs_gather(peq_all, tiles_all, pidx, tidx, qlens, max_ed,
                          W: int, smat: np.ndarray):
     """Device-gather rescore: peq_all/tiles_all stay device-resident."""
-    key = smat.tobytes()
-    fn = _GCACHE.get(key)
-    if fn is None:
-        fn = _GCACHE[key] = make_rescore_gather(smat)
-    out = fn(peq_all, tiles_all, jnp.asarray(pidx.astype(np.int32)),
-             jnp.asarray(tidx.astype(np.int32)),
-             jnp.asarray(qlens.astype(np.int32)),
-             jnp.asarray(max_ed.astype(np.int32)), W)
-    ed, gq, gr, fp = (np.asarray(o) for o in out)
-    score = np.float32(1.0) - ed.astype(np.float32) / (
-        qlens.astype(np.int64) + gq).astype(np.float32)
-    return ed, gq, gr, fp, score.astype(np.float32)
+    out = rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx,
+                                     qlens, max_ed, W, smat)
+    return rescore_finalize(out, qlens)
 
 
 def rescore_pairs(queries: np.ndarray | None, qlens: np.ndarray,

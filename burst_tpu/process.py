@@ -98,27 +98,25 @@ def bin_queries_for_accel(qd: QueryData, k: int, z: int,
     (accelerator handles unibins [0, b1); the full scan takes [b1, ...)).
     """
     n = len(qd.seqs)
+    lens = qd.lens[qd.six].astype(np.int64)
+    eds = qd.ed[qd.six].astype(np.int64)
+    m_pad = int(lens.max()) if n else 1
+    qmat = np.zeros((n, m_pad), dtype=np.uint8)
+    for j, s in enumerate(qd.seqs):
+        qmat[j, : len(s)] = s
+    # note: the reference increments totN only for codes > 4+Z but
+    # demotes to the ambiguous bin for any code > 4 (burst.c:3113-3176)
+    n_hard = (qmat > 4 + z).sum(axis=1)
+    any_ambig = (qmat > 4).any(axis=1)
     stat = np.ones(n, dtype=np.int8)
-    for j in range(n):
-        s = qd.seqs[j]
-        ln = int(qd.lens[qd.six[j]])
-        ed = int(qd.ed[qd.six[j]])
-        if ln < k or (not do_heur and ed >= ln // k):
-            stat[j] = 2
-            continue
-        tot_n = 0
-        for c in s:
-            if c > 4 + z:
-                tot_n += 1
-                if tot_n > 5:
-                    stat[j] = 2
-                    break
-            if c > 4 and stat[j] != 2:
-                stat[j] = 0
-        # note: the reference increments totN only for codes > 4+Z but
-        # demotes to the ambiguous bin for any code > 4
-    keys = [qd.seqs[j].tobytes() for j in range(n)]
-    order = sorted(range(n), key=lambda j: (stat[j], keys[j]))
+    stat[any_ambig] = 0
+    stat[n_hard > 5] = 2
+    inel = lens < k
+    if not do_heur:
+        inel |= eds >= lens // np.int64(k)
+    stat[inel] = 2
+    skeys = np.ascontiguousarray(qmat).view(f"S{m_pad}").ravel()
+    order = np.lexsort((skeys, stat))
     qd.seqs = [qd.seqs[j] for j in order]
     qd.six = qd.six[order]
     qd.rc = qd.rc[order]
