@@ -172,7 +172,10 @@ def run(a) -> int:
 
     smat = score_matrix(a["z"])
     qh, qs = parse_fasta_fast(a["query"])
-    qd = process_queries(qh, qs, a["thres"], a["rc"],
+    # prepass never materializes RC twins or accelerator bins
+    # (burst.c:3065, 3113)
+    qd = process_queries(qh, qs, a["thres"],
+                         a["rc"] and not a["prepass"],
                          incl_whitespace=a["whitespace"],
                          xalpha=a["xalpha"])
     if edx.is_edx(a["ref"]):
@@ -193,6 +196,17 @@ def run(a) -> int:
     taxonomy = None
     if a["tax"]:
         taxonomy = Taxonomy.parse(a["tax"], ncbi=a["taxa_ncbi"])
+
+    if a["prepass"]:
+        if not a["accel"]:
+            print("ERROR: prepass requires an accelerator (-a)")
+            return 1
+        from .accel import read_acx
+        from .prepass import run_prepass
+        acc = read_acx(a["accel"], z_required=a["z"])
+        a["smat"] = smat
+        with open(a["out"], "w") as fh:
+            return run_prepass(qd, rd, acc, a, fh, taxonomy)
 
     visits = None
     if a["accel"]:

@@ -28,10 +28,13 @@ def run_oracle(args, db12=False):
     return res
 
 
-def run_ours(args):
+def run_ours(args, expect=(0, None)):
     from burst_tpu.cli import main
     rc = main(["burst_tpu"] + args)
-    assert rc in (0, None), rc
+    if not isinstance(expect, tuple):
+        expect = (expect,)
+    assert rc in expect, rc
+    return rc
 
 
 def rand_dna(rng, n):
