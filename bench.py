@@ -52,7 +52,9 @@ def run_pipeline(qheads, reads, rd, acc, smat):
 
     qd = process_queries(qheads, reads, THRES, do_rc=False)
     qbins = bin_queries_for_accel(qd, acc.k, 1)
-    visits = engine.accel_candidates(qd, rd, acc, qbins)
+    # qbunch=1: per-query candidate lists (tightest sound filter); the
+    # reference bunches queries only to amortize its scour cost
+    visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
     ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
     juni, refpos, eds = engine.select_pods(qd, rd, ed, "BEST")
     pods = engine.rescore_winners(qd, rd, juni, refpos, eds, "BEST", smat)

@@ -141,6 +141,18 @@ def _clump_words(seqs: list[np.ndarray], k: int, z: int,
     return np.fromiter(seen.keys(), dtype=np.int64, count=len(seen))
 
 
+
+def _unit_kseq(rd, p: int):
+    """Unit content truncated to its TRUE length (pre-continuation byte;
+    see process.RefData.klen) -- the reference's accelerator collects
+    words over RefLen, not the transpose-extended content."""
+    u = rd.ix_srt[p]
+    s = rd.seqs[u]
+    if getattr(rd, "klen", None) is not None:
+        return s[: int(rd.klen[u])]
+    return s
+
+
 def _clump_is_bad(seqs: list[np.ndarray], k: int, z: int) -> bool:
     """Ambiguity-expansion budget check (burst.c:3341-3353), literal."""
     full_size = (1 << 31) - 1 if k > 14 else 1 << 24
@@ -187,7 +199,7 @@ def build_accelerator(rd: RefData, k: int = 15, z: int = 1,
     bad: list[int] = []
     for c in range(tot_rc):
         begin, end = c * VECSZ, min(rd.tot_units, (c + 1) * VECSZ)
-        seqs = [rd.seqs[rd.ix_srt[p]] for p in range(begin, end)]
+        seqs = [_unit_kseq(rd, p) for p in range(begin, end)]
         if not skip_ambig and _clump_is_bad(seqs, k, z):
             bad.append(c)
             continue
@@ -218,7 +230,7 @@ def build_unit_index(rd: RefData, acc: "Accelerator",
     bad_clump = np.zeros(n_units // VECSZ + 1, dtype=bool)
     if len(acc.bad):
         bad_clump[acc.bad.astype(np.int64)] = True
-    lens = np.array([len(rd.seqs[rd.ix_srt[p]]) for p in range(n_units)],
+    lens = np.array([len(_unit_kseq(rd, p)) for p in range(n_units)],
                     dtype=np.int64)
     elig = (~bad_clump[np.arange(n_units) // VECSZ]) & (lens >= k)
 
@@ -229,7 +241,7 @@ def build_unit_index(rd: RefData, acc: "Accelerator",
     # are dropped; remaining ambiguous windows are DFS-expanded below)
     ue = np.nonzero(elig)[0]
     if len(ue) and (z or skip_ambig):
-        cat = np.concatenate([rd.seqs[rd.ix_srt[p]] for p in ue])
+        cat = np.concatenate([_unit_kseq(rd, p) for p in ue])
         ulen = lens[ue]
         uid = np.repeat(np.arange(len(ue), dtype=np.int64), ulen)
         nwin = len(cat) - k + 1
@@ -261,7 +273,7 @@ def build_unit_index(rd: RefData, acc: "Accelerator",
     elif len(ue):
         # z=0 without skip_ambig: per-unit reference-semantics fallback
         for p in ue:
-            words = _clump_words([rd.seqs[rd.ix_srt[p]]], k, z, skip_ambig)
+            words = _clump_words([_unit_kseq(rd, p)], k, z, skip_ambig)
             if words.size:
                 key_parts.append(np.int64(p) * span + words)
 

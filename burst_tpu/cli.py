@@ -148,7 +148,8 @@ def parse_args(argv):
         elif arg in ("--clustradius", "-cr"):
             need("--clustradius requires integer argument")
         elif arg in ("--dbpartition", "-dp"):
-            need("--dbpartition requires integer argument")
+            a["cparts"] = int(need("--dbpartition requires integer "
+                                   "argument"))
         elif arg == "--shards":
             a["shards"] = int(need("--shards requires integer argument"))
         elif arg == "--kmer":
@@ -214,7 +215,8 @@ def run(a) -> int:
         from .process import bin_queries_for_accel
         acc = read_acx(a["accel"], z_required=a["z"])
         qbins = bin_queries_for_accel(qd, acc.k, a["z"], a["heur"])
-        visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"])
+        visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"],
+                                         threads=a["threads"])
         ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
     elif a["shards"] > 1:
         from .parallel.mesh import compute_ed_matrix_sharded

@@ -2,11 +2,9 @@
 
 Mirrors the reference makedb branch (/root/reference/burst.c:5118-5134):
 process_references with curate=2 then dump_edb (+ optional accelerator).
-The compressive duplicate-guided shearing of '-d DNA' (burst.c:1859-2107)
-is approximated by plain fixed-stride shearing (burst.c:2109-2141), which
-preserves the optimality guarantee (identical overlap rule) but may place
-shear boundaries differently; alignment results are equivalent, shear
-numbering may differ.
+'-d DNA' uses the compressive duplicate-guided shearing
+(burst.c:1859-2107, see process.compressive_shear); '-d QUICK' the
+plain fixed-stride shearing (burst.c:2109-2141).
 """
 from __future__ import annotations
 
@@ -25,7 +23,8 @@ def make_db(a: dict):
     rd = process_references(
         rh, rs, max_len_q=db_qlen, thres=a["thres"],
         rebase=a["rebase"], rebase_amt=a["rebase_amt"], curate=2,
-        xalpha=a["xalpha"], do_fp=a["fp"])
+        xalpha=a["xalpha"], do_fp=a["fp"], dbtype=a["dbtype"],
+        cparts=a.get("cparts", 1))
     shear_hdr = int(np.float32(db_qlen) / np.float32(a["thres"]))
     edx.write_edx(a["out"], rd, shear_hdr, a["rebase"],
                   do_fp=False, xalpha=a["xalpha"])

@@ -397,8 +397,19 @@ class SparseED:
 
 
 def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
-                     do_heur: bool = False) -> Visits:
-    """Build per-unibin candidate visit lists (vectorized host pass)."""
+                     do_heur: bool = False, threads: int = 1,
+                     qbunch: int | None = None) -> Visits:
+    """Build per-unibin candidate visit lists (vectorized host pass).
+
+    The reference scans QBUNCH unibins per task (burst.c:4018-4021,
+    QBUNCH = newUniqQ/(threads*128) clamped to [1,16]): the bunch
+    shares one scour -- per word the count contribution is the MAX
+    multiplicity across the bunch (postScour's run logic,
+    burst.c:3258-3284) -- one candidate list filtered by the bunch's
+    minimum threshold, and one visit order. The per-member threshold
+    only skips evaluations (burst.c:4163-4168). Thread count changes
+    QBUNCH and therefore row order; -t 1 is the canonical comparison.
+    """
     from .accel import query_words
 
     k = acc.k
@@ -443,13 +454,33 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
             word_parts.append(words.ravel())
     if not qidx_parts:
         return _bad_only()
+    if qbunch is None:
+        qbunch = n // (max(1, threads) * 128)
+        qbunch = min(16, qbunch)
+        qbunch = max(1, qbunch)
     qidx = np.concatenate(qidx_parts)
     words = np.concatenate(word_parts)
     span = np.int64(1) << np.int64(2 * k)
     ukey, mult = np.unique(qidx * span + words, return_counts=True)
     uq = ukey // span
     uw = ukey % span
-    starts, seg = acc.csr.lookup(uw)
+    # per (bunch, word): weight = MAX multiplicity over bunch members
+    if qbunch == 1:
+        bwords, bb, bmax = uw, uq, mult.astype(np.int64)
+    else:
+        ub = uq // qbunch
+        bkey = ub * span + uw
+        bso = np.argsort(bkey, kind="stable")
+        bks = bkey[bso]
+        bhead = np.empty(len(bks), dtype=bool)
+        bhead[0] = True
+        np.not_equal(bks[1:], bks[:-1], out=bhead[1:])
+        bgid = np.cumsum(bhead) - 1
+        bmax = np.zeros(int(bgid[-1]) + 1, dtype=np.int64)
+        np.maximum.at(bmax, bgid, mult[bso])
+        bwords = (bks[bhead] % span).astype(np.int64)
+        bb = (bks[bhead] // span).astype(np.int64)
+    starts, seg = acc.csr.lookup(bwords)
     total = int(seg.sum())
     if total == 0:
         return _bad_only()
@@ -457,9 +488,9 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
         ([0], np.cumsum(seg)[:-1])), seg)
     flat = base + np.arange(total)
     cl = acc.ids[flat].astype(np.int64)
-    qrep = np.repeat(uq, seg)
-    wgt = np.repeat(mult, seg)
-    pkey = qrep * n_clumps + cl
+    brep = np.repeat(bb, seg)
+    wgt = np.repeat(bmax, seg)
+    pkey = brep * n_clumps + cl
     # group-by via one stable argsort (first occurrence = group head)
     so = np.argsort(pkey, kind="stable")
     ps = pkey[so]
@@ -472,30 +503,49 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
                        ).astype(np.int64)
     first = so[np.nonzero(head)[0]]
     np.minimum(hits, 0xFFFF, out=hits)
-    pq = (u2 // n_clumps).astype(np.int64)
+    pb = (u2 // n_clumps).astype(np.int64)   # bunch id per candidate
     pc = (u2 % n_clumps).astype(np.int64)
 
-    # thresholds per unibin (burst.c:4091-4095, 4163-4165)
+    # thresholds per unibin (burst.c:4091-4095, 4163-4168)
     lns = qd.lens[qd.six[:b1]].astype(np.int64)
     errs = qd.ed[qd.six[:b1]].astype(np.int64)
     kload = errs * k + k
-    mm_bunch = np.where(kload < lns, lns - kload, 0)
+    mm_member = np.where(kload < lns, lns - kload, 0)
     if do_heur:
-        mm_bunch = np.maximum(mm_bunch, (lns >> 4) + 1)
+        mm_member = np.maximum(mm_member, (lns >> 4) + 1)
     mm_inner = np.where(kload < lns, lns - kload, 1)
+    n_bunches = (b1 + qbunch - 1) // qbunch
+    mm_bunch = np.full(n_bunches, 1 << 60, dtype=np.int64)
+    np.minimum.at(mm_bunch, np.arange(b1) // qbunch, mm_member)
 
-    keep = (hits > mm_bunch[pq]) & (hits > mm_inner[pq])
-    kq = pq[keep]
-    srt = np.lexsort((first[keep], -hits[keep], kq))
-    kq = kq[srt]
+    keep = hits > mm_bunch[pb]
+    kb = pb[keep]
+    srt = np.lexsort((first[keep], -hits[keep], kb))
+    kb = kb[srt]
     kc = pc[keep][srt]
-    cands_per_q = np.bincount(kq, minlength=b1)
+    kh = hits[keep][srt]
+    # expand bunch candidate lists to members, applying the per-member
+    # inner skip (bunch hits vs the member's threshold)
+    cands_per_b = np.bincount(kb, minlength=n_bunches)
+    bstart = np.concatenate(([0], np.cumsum(cands_per_b)))
+    memb = np.arange(b1)
+    mb = memb // qbunch
+    reps = cands_per_b[mb]
+    mrep = np.repeat(memb, reps)                 # member per expanded cand
+    total_e = int(reps.sum())
+    csr = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    src = (np.arange(total_e) - np.repeat(csr, reps)
+           + np.repeat(bstart[mb], reps))
+    kc_m = kc[src]
+    ok = kh[src] > mm_inner[mrep]
+    mrep, kc_m = mrep[ok], kc_m[ok]
+    cands_per_q = np.bincount(mrep, minlength=b1)
     offs = np.zeros(n + 1, dtype=np.int64)
     offs[1: b1 + 1] = np.cumsum(cands_per_q + nb)
     offs[b1 + 1:] = offs[b1]
     out = np.empty(int(offs[b1]), dtype=np.int64)
     csum = np.concatenate(([0], np.cumsum(cands_per_q)))
-    out[offs[kq] + (np.arange(len(kq)) - csum[kq])] = kc
+    out[offs[mrep] + (np.arange(len(mrep)) - csum[mrep])] = kc_m
     if nb:
         dst = (offs[:b1, None] + cands_per_q[:, None] +
                np.arange(nb)[None, :]).ravel()

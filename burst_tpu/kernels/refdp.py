@@ -138,6 +138,8 @@ def rescore(q: np.ndarray, r: np.ndarray, max_ed: int,
         if sc[x] == best_s and sh[x] == best_g:
             final_pos = x
     ed = min(best_s, 255)
-    score = np.float32(1.0) - np.float32(ed) / np.float32(m + best_g)
+    from ..native import score_identity
+    score = score_identity(np.array([ed], np.float32),
+                           np.array([m + best_g], np.float32))[0]
     return {"ed": int(ed), "gap_q": int(best_g), "gap_r": int(best_gr),
             "final_pos": int(final_pos), "score": np.float32(score)}

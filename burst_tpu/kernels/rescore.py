@@ -207,11 +207,14 @@ def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
 
 
 def rescore_finalize(out, qlens: np.ndarray):
-    """Host conversion + float32 identity (burst.c:844-860 semantics)."""
+    """Host conversion + float32 identity (burst.c:844-860 semantics,
+    with the shipped binary's -Ofast reciprocal rounding)."""
+    from ..native import score_identity
     ed, gq, gr, fp = (np.asarray(o) for o in out)
-    score = np.float32(1.0) - ed.astype(np.float32) / (
-        qlens.astype(np.int64) + gq).astype(np.float32)
-    return ed, gq, gr, fp, score.astype(np.float32)
+    score = score_identity(ed.astype(np.float32),
+                           (qlens.astype(np.int64) + gq
+                            ).astype(np.float32))
+    return ed, gq, gr, fp, score
 
 
 def rescore_pairs_gather(peq_all, tiles_all, pidx, tidx, qlens, max_ed,
@@ -241,9 +244,6 @@ def rescore_pairs(queries: np.ndarray | None, qlens: np.ndarray,
         peq = build_peq(queries, qlens.astype(np.int64), W, smat)
     out = fn(jnp.asarray(peq), jnp.asarray(qlens.astype(np.int32)),
              jnp.asarray(tiles), jnp.asarray(max_ed.astype(np.int32)), W)
-    ed, gq, gr, fp = (np.asarray(o) for o in out)
-    # Identity computed on the host in float32: bit-identical to the
-    # reference's SSE float division (burst.c:844-860).
-    score = np.float32(1.0) - ed.astype(np.float32) / (
-        qlens.astype(np.int64) + gq).astype(np.float32)
-    return ed, gq, gr, fp, score.astype(np.float32)
+    # Identity computed on the host with the shipped binary's rounding
+    # (burst.c:844-860 semantics under -Ofast).
+    return rescore_finalize(out, qlens)

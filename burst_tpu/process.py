@@ -139,6 +139,11 @@ class RefData:
     tot_units: int                   # number of alignment units (post-dedup)
     orig_tot: int                    # number of shears pre-dedup
     shear: int = 0                   # shear window (0 = unsheared)
+    klen: np.ndarray | None = None   # true (pre-continuation) lengths;
+    #                                  None/lens for EDX-read data
+
+
+VECSZ_REF = 16
 
 
 def shear_refs(heads, seqs, lens, max_len_q: int, thres: float,
@@ -146,7 +151,7 @@ def shear_refs(heads, seqs, lens, max_len_q: int, thres: float,
     """Plain fixed-stride shearing (burst.c:2109-2141)."""
     ov = int(np.float32(max_len_q) / np.float32(thres))
     shear = max(ov, int(rebase_amt))
-    new_h, new_s, new_len, new_start = [], [], [], []
+    new_h, new_s, new_len, new_start, new_pix = [], [], [], [], []
     max_len_r = shear + ov
     for i in range(len(seqs)):
         unit = int(lens[i]) - ov
@@ -159,31 +164,199 @@ def shear_refs(heads, seqs, lens, max_len_q: int, thres: float,
             new_s.append(seqs[i][j:j + ln])
             new_len.append(ln)
             new_start.append(j)
+            new_pix.append(i)
             j += shear
         # note: a reference of length exactly ov yields unit == 0 and is
         # dropped -- the reference implementation does the same
         # (burst.c:2118-2122: only negative unit is clamped to 1)
     return new_h, new_s, np.array(new_len, np.int64), \
-        np.array(new_start, np.int64), shear
+        np.array(new_start, np.int64), np.array(new_pix, np.int64), shear
+
+
+def compressive_shear(headers, seqs, lens, max_len_q: int, thres: float,
+                      rebase_amt: int, cparts: int = 1):
+    """Duplicate-guided compressive shearing (burst.c:1859-2107).
+
+    Every eligible window start (13-mer of unambiguous codes, window =
+    shear+ov fully inside the sequence) is bucket-sorted by content;
+    adjacent fully-duplicate chains and near-duplicate ("sh") runs mark
+    their window-start positions with a 4-bit dynamic-range-compressed
+    flag; shearing then greedily restarts at the best flag within each
+    shear span so duplicated regions land on shear boundaries and
+    dedupe away. Flags are kept out-of-band (the reference ORs them
+    into the sequence bytes' high nibbles and strips them after).
+    """
+    NL = 13
+    min_shear = int(np.float32(max_len_q) / np.float32(thres))
+    shear = max(min_shear, int(rebase_amt))
+    ov = min_shear
+    w = shear + ov
+    eqlen = w - NL
+    niblen = 24 - NL
+    n_refs = len(seqs)
+    flags = [np.zeros(len(s), dtype=np.uint8) for s in seqs]
+    cparts = max(1, int(cparts))
+    cp_range = n_refs // cparts + (1 if n_refs % cparts else 0)
+
+    max_chain = 0
+    max_sh = 0
+    for rix in range(0, n_refs, cp_range):
+        red = min(n_refs, rix + cp_range)
+        # gather eligible windows of this partition
+        re_parts, pe_parts, win_parts = [], [], []
+        for i in range(rix, red):
+            s = seqs[i]
+            L = len(s)
+            if L < w:
+                continue
+            nwin = L - w          # j in [0, L-w)
+            if nwin <= 0:
+                continue
+            bad = (s[: nwin + NL - 1] > 4) | (s[: nwin + NL - 1] == 0)
+            cb = np.concatenate(([0], np.cumsum(bad)))
+            elig = (cb[NL:] - cb[:-NL]) == 0     # [nwin]
+            js = np.nonzero(elig)[0]
+            if not len(js):
+                continue
+            mat = np.lib.stride_tricks.sliding_window_view(s, w)[js]
+            win_parts.append(np.ascontiguousarray(mat))
+            re_parts.append(np.full(len(js), i, dtype=np.int64))
+            pe_parts.append(js.astype(np.int64))
+        if not win_parts:
+            continue
+        wins = np.concatenate(win_parts)
+        re = np.concatenate(re_parts)
+        pe = np.concatenate(pe_parts)
+        keys = wins.view(f"S{w}").ravel()
+        srt = np.argsort(keys, kind="stable")
+        wins, re, pe = wins[srt], re[srt], pe[srt]
+        n = len(wins)
+        if n < 2:
+            continue
+        # adjacent comparisons: same bin (first NL), first-diff past NL
+        a, b = wins[:-1], wins[1:]
+        same_bin = (a[:, :NL] == b[:, :NL]).all(axis=1)       # [n-1]
+        neq = a[:, NL:] != b[:, NL:]
+        any_diff = neq.any(axis=1)
+        where = np.where(any_diff, neq.argmax(axis=1), eqlen)
+        is_sh = same_bin & (where >= niblen)
+        is_ch = same_bin & (where >= eqlen)
+        # run lengths ending at each pair (t indexes pair (t, t+1))
+        t_ix = np.arange(n - 1)
+        lf_sh = np.maximum.accumulate(np.where(~is_sh, t_ix, -1))
+        lf_ch = np.maximum.accumulate(np.where(~is_ch, t_ix, -1))
+        # breaks happen at within-bin pairs only (bin ends never flush)
+        brk_sh = same_bin & (where < niblen)
+        brk_ch = same_bin & (where < eqlen)
+        if max_chain == 0 and max_sh == 0:
+            # phase-2 quirk (burst.c:1966-1981): the sh counter never
+            # resets inside a bin, so maxSh is the per-bin CUMULATIVE
+            # count of qualifying pairs before the bin's last break;
+            # maxChain is the usual run maximum.
+            bs = np.nonzero(brk_sh)[0]
+            if len(bs):
+                bin_id = np.concatenate(
+                    ([0], np.cumsum(~same_bin[:-1]))).astype(np.int64)
+                cq = np.concatenate(([0], np.cumsum(is_sh)))
+                bin_q0 = np.zeros(int(bin_id.max()) + 1, dtype=np.int64)
+                firsts = np.concatenate(
+                    ([0], np.nonzero(np.diff(bin_id))[0] + 1))
+                bin_q0[bin_id[firsts]] = cq[firsts]
+                cnt = cq[bs] - bin_q0[bin_id[bs]]
+                if len(cnt):
+                    max_sh = max(max_sh, int(cnt.max()))
+            bc = np.nonzero(brk_ch)[0]
+            bc = bc[bc > 0]
+            if len(bc):
+                chl = (bc - 1) - lf_ch[bc - 1]
+                if len(chl):
+                    max_chain = max(max_chain, int(chl.max()))
+        sh1 = int(np.sqrt(np.float64(max_sh)) / 2)
+        sh2 = sh1 * 4 // 3
+        sh3 = sh1 * 3
+        # marking (entry e of pair t is e = t+1's predecessor chain):
+        # a break at pair t marks entries [t - run, t] (window starts)
+        for t in np.nonzero(brk_sh)[0]:
+            sh = int(t) - 1 - int(lf_sh[t - 1]) if t > 0 else 0
+            if sh > sh1:
+                conv = 3 if sh >= sh3 else 2 if sh >= sh2 else 1
+                lo = t - sh
+                for e in range(lo, t + 1):
+                    flags[re[e]][pe[e]] |= np.uint8(conv << 4)
+        for t in np.nonzero(brk_ch)[0]:
+            chain = int(t) - 1 - int(lf_ch[t - 1]) if t > 0 else 0
+            if chain and max_chain:
+                tt = min(2048, chain * 2048 // max_chain)
+                tt = max(tt, 1)          # clz(0) is UB in the reference
+                conv = (tt.bit_length() - 1) + 4
+                lo = t - chain
+                for e in range(lo, t + 1):
+                    flags[re[e]][pe[e]] |= np.uint8(conv << 4)
+
+    # flag-guided greedy rebase (burst.c:2052-2083)
+    new_h, new_s, new_len, new_start, new_pix = [], [], [], [], []
+    for i in range(n_refs):
+        L = int(lens[i])
+        fl = flags[i] >> 4
+        end = 0
+        pos = 0
+        bst_flg = int(fl[0]) if L else 0
+        while end < L:
+            start = pos
+            max_ix = min(L, pos + shear)
+            seg = fl[pos + 1: max_ix]
+            if len(seg):
+                bf = int(seg.max())
+                bi = pos + 1 + (len(seg) - 1 - int(np.argmax(seg[::-1])))
+            else:
+                bf = 0
+                bi = pos
+            if bf > bst_flg:
+                pos = bi
+            else:
+                pos += shear
+            end = min(max_ix + ov, L) if bst_flg > 3 else min(pos + ov, L)
+            if pos < L:
+                bst_flg = int(fl[pos])
+            new_h.append(headers[i])
+            new_s.append(seqs[i][start:end])
+            new_len.append(end - start)
+            new_start.append(start)
+            new_pix.append(i)
+    return new_h, new_s, np.array(new_len, np.int64), \
+        np.array(new_start, np.int64), np.array(new_pix, np.int64), shear
 
 
 def process_references(headers, raw_seqs, *, max_len_q: int = 0,
                        thres: float = 0.97, rebase: bool = False,
                        rebase_amt: int = 500, curate: int = 0,
-                       xalpha: bool = False, do_fp: bool = False) -> RefData:
+                       xalpha: bool = False, do_fp: bool = False,
+                       dbtype: str = "QUICK", cparts: int = 1) -> RefData:
     seqs = [s if xalpha else translate(s) for s in raw_seqs]
+    parents = seqs
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     start = None
+    pix = None
     shear = 0
-    if rebase:
-        headers, seqs, lens, start, shear = shear_refs(
+    if rebase and dbtype == "DNA":
+        headers, seqs, lens, start, pix, shear = compressive_shear(
+            headers, seqs, lens, max_len_q, thres, rebase_amt, cparts)
+    elif rebase:
+        headers, seqs, lens, start, pix, shear = shear_refs(
             headers, seqs, lens, max_len_q, thres, rebase_amt)
     tot = len(seqs)
 
-    # Length sort, then lexicographic sort within LATENCY pods
+    # Length sort, then lexicographic sort within LATENCY pods.
+    # The reference's within-pod comparator is a raw strcmp
+    # (burst.c:1341-1344) on pointers into the parent sequence, so the
+    # sort key runs PAST the shear end to the end of the parent (the
+    # NUL separator): duplicate shears order by their parents' tails.
     order = np.argsort(lens, kind="stable")
     lens_sorted = lens[order]
-    keys = [seqs[i].tobytes() for i in range(tot)]
+    if start is not None:
+        keys = [parents[pix[i]][start[i]:].tobytes() for i in range(tot)]
+    else:
+        keys = [seqs[i].tobytes() for i in range(tot)]
     lat = 0 if do_fp else LATENCY
     srt = list(order)
     cur_tol = int(lens_sorted[0])
@@ -193,12 +366,26 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
         if int(lens_sorted[i]) > cur_tol + lat:
             cur_tol = int(lens_sorted[i])
             if i - prev > 1:
-                bounds.append((prev, i))
+                bounds.append((prev, i, False))
             prev = i
     if prev < tot - 1:
-        bounds.append((prev, tot))
-    for a, b in bounds:
-        srt[a:b] = sorted(srt[a:b], key=lambda ix: keys[ix])
+        bounds.append((prev, tot, True))
+    shear_bytes = [seqs[i].tobytes() for i in range(tot)] \
+        if start is not None else keys
+    for a, b, last in bounds:
+        if last or b - a > 256:
+            # parallel_sort_tuxedo (burst.c:391-406): NIB5 prefix
+            # buckets + per-bucket qsort with tuxCmp, which compares
+            # shear content bounded by min length, tie-breaks by
+            # length, and NEVER returns 0 -- glibc's merge then takes
+            # the right element for "greater" ties, so equal entries
+            # come out in REVERSE input order (anti-stable)
+            srt[a:b] = sorted(
+                srt[a:b],
+                key=lambda ix: (shear_bytes[ix], int(lens[ix]), -ix))
+        else:
+            # qsort(cmpPackSeq) = strcmp on parent tails, stable
+            srt[a:b] = sorted(srt[a:b], key=lambda ix: (keys[ix], ix))
     srt = np.array(srt, dtype=np.int64)
 
     dedup_ix = None
@@ -206,25 +393,61 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
     ix_srt = srt.copy()
     tot_units = tot
     if curate:
+        # duplicates = equal length AND equal shear content
+        # (burst.c:2203-2207); sort keys include parent tails so
+        # compare the shear bytes themselves here
+        shear_keys = [seqs[i].tobytes() for i in range(tot)] \
+            if start is not None else keys
         groups = [0]
         for i in range(1, tot):
-            if keys[srt[i]] != keys[srt[i - 1]]:
+            if shear_keys[srt[i]] != shear_keys[srt[i - 1]]:
                 groups.append(i)
         uix = len(groups)
         dedup_ix = np.array(groups + [tot], dtype=np.int64)
-        # lowest original index becomes the group representative
-        # (burst.c:2213-2220): swap it to the group's front
+        # lowest original index becomes the group representative via the
+        # reference's min-displacement scan (burst.c:2216-2221): each
+        # time a smaller member is found, the current front value takes
+        # its place -- member order inside groups follows exactly
         for g in range(uix):
-            a, b = dedup_ix[g], dedup_ix[g + 1]
-            lo = a + int(np.argmin(srt[a:b]))
-            if lo != a:
-                srt[a], srt[lo] = srt[lo], srt[a]
+            a, b = int(dedup_ix[g]), int(dedup_ix[g + 1])
+            bix = srt[a]
+            for mi in range(a + 1, b):
+                if srt[mi] < bix:
+                    bix = srt[mi]
+                    srt[mi] = srt[a]
+                    srt[a] = bix
         tmp_rix = srt.copy()
         ix_srt = srt[dedup_ix[:-1]].copy()
         tot_units = uix
+
+    # The reference's clump transpose reads ONE byte past each shear's
+    # end into the parent (burst.c:2716-2718 uses '>= j'), bounded by
+    # the clump's max true length, so the DP and the EDX nibbles see a
+    # len+1 "continuation" byte. True lengths (klen) drive sorting,
+    # dedupe and accelerator word collection; extended content drives
+    # alignment and serialization.
+    klen = lens.copy()
+    if start is not None:
+        clump_max = np.zeros(tot_units // VECSZ_REF + 1, dtype=np.int64)
+        pos_arr = np.arange(tot_units)
+        np.maximum.at(clump_max, pos_arr // VECSZ_REF,
+                      lens[ix_srt[:tot_units]])
+        ext_lens = lens.copy()
+        new_seqs = list(seqs)
+        for p in range(tot_units):
+            u = int(ix_srt[p])
+            ln = int(lens[u])
+            par = parents[pix[u]]
+            ext = min(ln + 1, int(clump_max[p // VECSZ_REF]),
+                      len(par) - int(start[u]))
+            if ext > ln:
+                new_seqs[u] = par[int(start[u]): int(start[u]) + ext]
+                ext_lens[u] = ext
+        seqs = new_seqs
+        lens = ext_lens
 
     ref_map = np.arange(len(seqs), dtype=np.int64)  # raw-FASTA identity map
     return RefData(
         heads=headers, seqs=seqs, lens=lens, start=start,
         ix_srt=ix_srt, tmp_rix=tmp_rix, dedup_ix=dedup_ix, ref_map=ref_map,
-        tot_units=tot_units, orig_tot=tot, shear=shear)
+        tot_units=tot_units, orig_tot=tot, shear=shear, klen=klen)
