@@ -192,7 +192,7 @@ def run(a) -> int:
             rh, rs, max_len_q=qd.max_len, thres=a["thres"],
             rebase=a["rebase"], rebase_amt=a["rebase_amt"],
             curate=1 if a["dedupe"] else 0, xalpha=a["xalpha"],
-            do_fp=a["fp"])
+            do_fp=a["fp"], z=a["z"])
 
     taxonomy = None
     if a["tax"]:

@@ -62,7 +62,18 @@ def read_edx(path: str, xalpha: bool = False):
                                 ).astype(np.int64)
         packed_len = int((clump_len // 2 + (clump_len & 1)).sum()) * 16
         packed = np.fromfile(f, dtype=np.uint8, count=packed_len)
-        # fingerprint section ignored (advisory only)
+        centroids = fp_p = fp_ptrs = None
+        if do_fp:
+            centroids = np.fromfile(f, dtype=np.uint8, count=num_clumps * 32
+                                    ).reshape(num_clumps, 32)
+            nf = int(np.fromfile(f, dtype=np.uint32, count=1)[0])
+            if nf:
+                fp_ptrs = np.fromfile(f, dtype=np.uint32, count=tot_r
+                                      ).astype(np.int64)
+            else:
+                nf = tot_r
+            fp_p = np.fromfile(f, dtype=np.uint8, count=nf * 32
+                               ).reshape(nf, 32)
 
     # Unpack nibble clumps -> per-unit sequences in sorted order
     seqs_sorted: list[np.ndarray] = [None] * tot_r  # type: ignore
@@ -116,7 +127,8 @@ def read_edx(path: str, xalpha: bool = False):
     rd = RefData(heads=heads, seqs=seqs, lens=lens, start=start,
                  ix_srt=ix_srt, tmp_rix=tmp_rix, dedup_ix=dedup_ix,
                  ref_map=ref_map, tot_units=tot_r, orig_tot=orig_tot_r,
-                 shear=shear if rebase else 0)
+                 shear=shear if rebase else 0, centroids=centroids,
+                 fp_p=fp_p, fp_ptrs=fp_ptrs)
     return rd, (shear if rebase else 0)
 
 
@@ -183,5 +195,14 @@ def write_edx(path: str, rd, shear_for_header: int, rebase: bool,
                 letters[: len(s), z] = s
         packed = (letters[0::2] | (letters[1::2] << 4))[:rows]
         buf.write(packed.tobytes())
+    if do_fp and rd.centroids is not None:
+        # FP section (burst.c:2828-2836): centroids, nf, twin pointers,
+        # fingerprints
+        buf.write(rd.centroids[:num_clumps].astype(np.uint8).tobytes())
+        nf = len(rd.fp_p)
+        buf.write(np.uint32(nf).tobytes())
+        if nf:
+            buf.write(rd.fp_ptrs.astype(np.uint32).tobytes())
+        buf.write(rd.fp_p.astype(np.uint8).tobytes())
     with open(path, "wb") as f:
         f.write(buf.getvalue())

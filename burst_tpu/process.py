@@ -141,6 +141,9 @@ class RefData:
     shear: int = 0                   # shear window (0 = unsheared)
     klen: np.ndarray | None = None   # true (pre-continuation) lengths;
     #                                  None/lens for EDX-read data
+    centroids: np.ndarray | None = None   # [numRclumps,32] u8 (DO_FP)
+    fp_p: np.ndarray | None = None        # [nf,32] u8 fingerprints
+    fp_ptrs: np.ndarray | None = None     # [totU] twin pointers
 
 
 VECSZ_REF = 16
@@ -331,7 +334,8 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
                        thres: float = 0.97, rebase: bool = False,
                        rebase_amt: int = 500, curate: int = 0,
                        xalpha: bool = False, do_fp: bool = False,
-                       dbtype: str = "QUICK", cparts: int = 1) -> RefData:
+                       dbtype: str = "QUICK", cparts: int = 1,
+                       z: int = 1) -> RefData:
     seqs = [s if xalpha else translate(s) for s in raw_seqs]
     parents = seqs
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
@@ -420,6 +424,15 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
         ix_srt = srt[dedup_ix[:-1]].copy()
         tot_units = uix
 
+    centroids = fp_p = fp_ptrs = None
+    if do_fp and not xalpha:
+        # FP-guided clustering reorders the sorted units so each 16-wide
+        # clump packs similar references (burst.c:2238-2686)
+        from .fingerprint import cluster_references
+        ix_srt, tmp_rix, dedup_ix, centroids, fp_p, fp_ptrs = \
+            cluster_references(ix_srt, tmp_rix, dedup_ix, seqs, lens,
+                               tot_units, tot, z, bool(curate))
+
     # The reference's clump transpose reads ONE byte past each shear's
     # end into the parent (burst.c:2716-2718 uses '>= j'), bounded by
     # the clump's max true length, so the DP and the EDX nibbles see a
@@ -450,4 +463,5 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
     return RefData(
         heads=headers, seqs=seqs, lens=lens, start=start,
         ix_srt=ix_srt, tmp_rix=tmp_rix, dedup_ix=dedup_ix, ref_map=ref_map,
-        tot_units=tot_units, orig_tot=tot, shear=shear, klen=klen)
+        tot_units=tot_units, orig_tot=tot, shear=shear, klen=klen,
+        centroids=centroids, fp_p=fp_p, fp_ptrs=fp_ptrs)
