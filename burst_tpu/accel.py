@@ -51,15 +51,32 @@ class SparseCSR:
             ([0], np.cumsum(cnt)[:-1])).astype(np.int64) if len(cnt) \
             else np.zeros(0, np.int64)
         self.ids = ids              # concatenated postings (uint32)
+        self._rank = None           # dense word->rank+1 table (lazy)
+        self._rank_span = 0
+
+    def _dense_rank(self, span: int):
+        """Dense O(1) lookup table; worth it up to 4^13 (268MB)."""
+        if self._rank is None:
+            self._rank = np.zeros(span, dtype=np.uint32)
+            self._rank[self.nzw] = np.arange(
+                1, len(self.nzw) + 1, dtype=np.uint32)
+            self._rank_span = span
+        return self._rank
 
     def lookup(self, words: np.ndarray):
         """(starts, lens) per query word; absent words get len 0."""
         if len(self.nzw) == 0:
             z = np.zeros(len(words), dtype=np.int64)
             return z, z
-        pos = np.searchsorted(self.nzw, words)
-        pos = np.minimum(pos, len(self.nzw) - 1)
-        hit = self.nzw[pos] == words
+        span = int(self.nzw[-1]) + 1
+        if span <= (1 << 26):
+            r = self._dense_rank(span)[np.minimum(words, span - 1)]
+            hit = (r > 0) & (words < span)
+            pos = np.where(hit, r.astype(np.int64) - 1, 0)
+        else:
+            pos = np.searchsorted(self.nzw, words)
+            pos = np.minimum(pos, len(self.nzw) - 1)
+            hit = self.nzw[pos] == words
         lens = np.where(hit, self.cnt[pos], 0)
         starts = np.where(hit, self.start[pos], 0)
         return starts, lens

@@ -46,11 +46,14 @@ DEAD = 511          # uniform "dead" score (reference: saturated 255)
 def make_rescore(smat_np: np.ndarray):
     """Build a jitted rescore closed over a scoring matrix."""
 
-    @functools.partial(jax.jit, static_argnames=("W", "levels"))
+    @functools.partial(jax.jit, static_argnames=("W", "levels", "rows"))
     def rescore_batch(peq, qlens, tiles, max_ed, W: int,
-                      levels: int | None = None):
+                      levels: int | None = None, rows: int | None = None):
         P, Lp = tiles.shape
-        m_pad = W * 32
+        # wildcard tail rows carry row-qlen optima down unchanged, so
+        # the scan may stop at the batch's max query length instead of
+        # the full 32*W padding
+        m_pad = W * 32 if rows is None else rows
         assert Lp <= 7679 and m_pad <= 256, "packed rescore range"
         L1 = Lp + 1
         bad = (max_ed + 1).astype(jnp.int32)[:, None]        # [P,1]
@@ -169,12 +172,12 @@ def make_rescore_gather(smat_np: np.ndarray):
     if core is None:
         core = _CACHE[smat_np.tobytes()] = make_rescore(smat_np)
 
-    @functools.partial(jax.jit, static_argnames=("W", "levels"))
+    @functools.partial(jax.jit, static_argnames=("W", "levels", "rows"))
     def fn(peq_all, tiles_all, pidx, tidx, qlens, max_ed, W: int,
-           levels: int | None = None):
+           levels: int | None = None, rows: int | None = None):
         peq = jnp.take(peq_all, pidx, axis=0)
         tiles = jnp.take(tiles_all, tidx, axis=0)
-        return core(peq, qlens, tiles, max_ed, W, levels)
+        return core(peq, qlens, tiles, max_ed, W, levels, rows)
 
     return fn
 
@@ -199,11 +202,13 @@ def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
     fn = _GCACHE.get(key)
     if fn is None:
         fn = _GCACHE[key] = make_rescore_gather(smat)
+    rows = min(W * 32, int(-(-int(qlens.max()) // 8)) * 8) if len(qlens) \
+        else W * 32
     return fn(peq_all, tiles_all, jnp.asarray(pidx.astype(np.int32)),
               jnp.asarray(tidx.astype(np.int32)),
               jnp.asarray(qlens.astype(np.int32)),
               jnp.asarray(max_ed.astype(np.int32)), W,
-              _levels_for(max_ed))
+              _levels_for(max_ed), rows)
 
 
 def rescore_finalize(out, qlens: np.ndarray):
