@@ -231,6 +231,7 @@ def select_pods(qd: QueryData, rd: RefData, ed, mode: str,
     nu = qd.num_uniq
     budgets = qd.ed  # [numUniq]
     if isinstance(ed, SparseED):
+        ed.materialize()
         pj, pp, pe = ed.pj, ed.pp, ed.pe.astype(np.int64)
         six = qd.six[pj]
         frows = np.asarray(ed.full_rows, dtype=np.int64)
@@ -277,8 +278,15 @@ def select_pods(qd: QueryData, rd: RefData, ed, mode: str,
 
 def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
                     mode: str, smat: np.ndarray | None = None,
-                    pod_order: np.ndarray | None = None) -> Pods:
-    """Phase B: exact stats for winner pairs, then reference pod ordering."""
+                    pod_order: np.ndarray | None = None,
+                    last0: np.ndarray | None = None) -> Pods:
+    """Phase B: exact stats for winner pairs, then reference pod ordering.
+
+    `last0` (optional, from SparseED.lookup_last): zero-ED winners have
+    no gaps, identity exactly 1.0, and final_pos = the phase-A
+    last-best column minus the wildcard pad shift -- they skip the
+    rescore kernel entirely.
+    """
     if smat is None:
         smat = score_matrix()
     n = len(juni)
@@ -302,9 +310,17 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
     qmat, qlens_all, qw_all = _query_matrix(qd)
     qws = qw_all[juni] if n else np.zeros(0, np.int64)
     lbs = _unit_lb(rd)[refpos] if n else np.zeros(0, np.int64)
-    for W in np.unique(qws):
-        for lb in np.unique(lbs[qws == W]):
-            sel = order[(qws == W) & (lbs == lb)]
+    todo = np.ones(n, dtype=bool)
+    if last0 is not None and n:
+        skip = (out_ed == 0) & (np.asarray(last0) > 0)
+        if skip.any():
+            score[skip] = np.float32(1.0)
+            fpos[skip] = np.asarray(last0)[skip] - \
+                (qws[skip] * 32 - qlens_all[juni[skip]])
+            todo &= ~skip
+    for W in np.unique(qws[todo] if n else qws):
+        for lb in np.unique(lbs[todo & (qws == W)]):
+            sel = order[todo & (qws == W) & (lbs == lb)]
             m_pad = int(W) * 32
             lp = int(lb) + m_pad
             lp = -(-lp // 64) * 64
@@ -391,9 +407,41 @@ class SparseED:
     """Phase-A results: sparse pair EDs + dense block for full-scan rows."""
     pj: np.ndarray         # [P] unibin row per pair
     pp: np.ndarray         # [P] sorted-unit position per pair
-    pe: np.ndarray         # [P] int64 min ED (<=255)
+    pe: np.ndarray         # [P] int64 min ED (<=255); None while deferred
     full_rows: np.ndarray  # unibins covered by the dense block
     ed_full: np.ndarray    # [len(full_rows), tot_units] uint8
+    pending: list | None = None   # deferred (part, device result) chunks
+    plast: np.ndarray | None = None  # [P] last best column (padded coords)
+
+    def materialize(self):
+        """Sync deferred phase-A device chunks into pe."""
+        if self.pending is not None:
+            self.pe = np.full(len(self.pj), 255, dtype=np.int64)
+            self.plast = np.full(len(self.pj), -1, dtype=np.int64)
+            for part, res in self.pending:
+                if isinstance(res, tuple):
+                    self.pe[part] = np.asarray(res[0])[: len(part)]
+                    self.plast[part] = np.asarray(res[1])[: len(part)]
+                else:
+                    self.pe[part] = np.asarray(res)[: len(part)]
+            np.minimum(self.pe, 255, out=self.pe)
+            self.pending = None
+        return self
+
+    def lookup_last(self, juni, refpos, tot_units: int):
+        """Last-best-column per (unibin, unit) winner; -1 if unknown."""
+        out = np.full(len(juni), -1, dtype=np.int64)
+        if self.plast is None or not len(self.pj):
+            return out
+        keys = self.pj * tot_units + self.pp
+        so = np.argsort(keys)
+        ks = keys[so]
+        want = juni * tot_units + refpos
+        loc = np.searchsorted(ks, want)
+        np.minimum(loc, len(ks) - 1, out=loc)
+        hit = ks[loc] == want
+        out[hit] = self.plast[so][loc[hit]]
+        return out
 
 
 def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
@@ -600,8 +648,14 @@ def rd_acc_unit_index(rd: RefData, acc) -> bool:
 
 
 def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits: Visits,
-                            smat: np.ndarray | None = None) -> SparseED:
-    """Phase A over candidate pairs only (sparse); full scan for the rest."""
+                            smat: np.ndarray | None = None,
+                            defer: bool = False) -> SparseED:
+    """Phase A over candidate pairs only (sparse); full scan for the rest.
+
+    With defer=True the device chunks are only dispatched; call
+    .materialize() (or select_pods, which does) to sync -- letting the
+    caller overlap host work with the device scan.
+    """
     if smat is None:
         smat = score_matrix()
     nj = len(qd.seqs)
@@ -630,10 +684,13 @@ def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits: Visits,
         keep = (~visits.filtered[pj]) | visits.bad_clump[pp // VECSZ] | hit
         pj, pp = pj[keep], pp[keep]
     if len(pj):
-        pe = _pairs_min_ed(qd, rd, pj, pp, smat)
-        np.minimum(pe, 255, out=pe)
-    else:
-        pe = np.zeros(0, dtype=np.int64)
+        pending = _pairs_min_ed(qd, rd, pj, pp, smat, defer=True)
+        sed = SparseED(pj=pj, pp=pp, pe=None, full_rows=full_rows,
+                       ed_full=ed_full, pending=pending)
+        if not defer:
+            sed.materialize()
+        return sed
+    pe = np.zeros(0, dtype=np.int64)
     return SparseED(pj=pj, pp=pp, pe=pe, full_rows=full_rows,
                     ed_full=ed_full)
 
@@ -658,7 +715,8 @@ def _subset_qd(qd: QueryData, rows: list[int]) -> QueryData:
 
 
 def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
-                  pp: np.ndarray, smat: np.ndarray) -> np.ndarray:
+                  pp: np.ndarray, smat: np.ndarray,
+                  defer: bool = False):
     """Paired phase A (burst.c accel inner loop): bucketed like rescore.
 
     All kernel chunks are dispatched asynchronously and converted to
@@ -686,10 +744,12 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
                 tidx = np.zeros(pchunk, np.int32)
                 pidx[: len(part)] = prows[s0:s0 + pchunk]
                 tidx[: len(part)] = trows[s0:s0 + pchunk]
-                pending.append((part, myers.myers_min_ed_gather(
+                pending.append((part, myers.myers_min_ed_gather_pos(
                     peq_dev, tiles_dev, pidx, tidx, int(W))))
+    if defer:
+        return pending
     for part, res in pending:
-        out[part] = np.asarray(res)[: len(part)]
+        out[part] = np.asarray(res[0])[: len(part)]
     return out
 
 

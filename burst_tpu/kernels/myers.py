@@ -228,6 +228,68 @@ def myers_min_ed_gather(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
     return myers_min_ed(peq, tiles, W)
 
 
+@functools.partial(jax.jit, static_argnames=("W",))
+def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
+                            pidx: jnp.ndarray, tidx: jnp.ndarray, W: int):
+    """Like myers_min_ed_gather but also returns the LAST (1-based,
+    padded-coordinate) column attaining the running minimum -- for
+    zero-ED winners this equals the rescore kernel's final_pos + the
+    (32W - qlen) pad shift, letting phase B be skipped entirely."""
+    peq = jnp.take(peq_all, pidx, axis=0)
+    tiles = jnp.take(tiles_all, tidx, axis=0)
+    B = peq.shape[0]
+    peq_t = jnp.transpose(peq, (1, 2, 0))
+    cols = tiles.T.astype(jnp.int32)
+
+    ones = jnp.full((W, B), 0xFFFFFFFF, dtype=jnp.uint32)
+    zero = jnp.zeros((W, B), dtype=jnp.uint32)
+    init = (ones, zero, jnp.full((B,), W * WORD, jnp.int32),
+            jnp.full((B,), W * WORD, jnp.int32),
+            jnp.zeros((B,), jnp.int32), jnp.int32(0))
+    one = jnp.uint32(1)
+
+    def step(state, col):
+        VP, VN, score, best, last, j = state
+        Eq = _select_peq(peq_t, col)
+        Xv = Eq | VN
+        sums = []
+        carry = jnp.zeros((B,), jnp.uint32)
+        for w in range(W):
+            a = Eq[w] & VP[w]
+            s1 = a + VP[w]
+            c1 = (s1 < a).astype(jnp.uint32)
+            s2 = s1 + carry
+            c2 = (s2 < s1).astype(jnp.uint32)
+            sums.append(s2)
+            carry = c1 | c2
+        sums = jnp.stack(sums)
+        Xh = (sums ^ VP) | Eq
+        Ph = VN | ~(Xh | VP)
+        Mh = VP & Xh
+        score = score + (Ph[W - 1] >> 31).astype(jnp.int32) \
+                      - (Mh[W - 1] >> 31).astype(jnp.int32)
+        j = j + 1
+        upd = score <= best
+        best = jnp.where(upd, score, best)
+        last = jnp.where(upd, j, last)
+        ph_list, mh_list = [], []
+        pc = jnp.zeros((B,), jnp.uint32)
+        mc = jnp.zeros((B,), jnp.uint32)
+        for w in range(W):
+            ph_list.append((Ph[w] << one) | pc)
+            mh_list.append((Mh[w] << one) | mc)
+            pc = Ph[w] >> 31
+            mc = Mh[w] >> 31
+        Phs = jnp.stack(ph_list)
+        Mhs = jnp.stack(mh_list)
+        VP = Mhs | ~(Xv | Phs)
+        VN = Phs & Xv
+        return (VP, VN, score, best, last, j), None
+
+    (_, _, _, best, last, _), _ = jax.lax.scan(step, init, cols)
+    return best, last
+
+
 def min_ed_numpy_reference(q: np.ndarray, r: np.ndarray, W: int | None = None,
                            smat: np.ndarray | None = None) -> int:
     """Convenience single-pair wrapper (host) used in tests."""

@@ -191,19 +191,52 @@ def _levels_for(max_ed: np.ndarray) -> int:
     return lv
 
 
+def _use_pallas() -> bool:
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return "tpu" in plat or "axon" in plat
+
+
+@functools.partial(jax.jit, static_argnames=("W", "levels", "rows", "L1"))
+def _pallas_gather(peq_all, tiles_all, pidx, tidx, qmeta, W: int,
+                   levels: int, rows: int, L1: int):
+    from .rescore_pallas import rescore_pallas
+    peq = jnp.take(peq_all, pidx, axis=0).reshape(len(pidx), 16 * W)
+    tiles = jnp.take(tiles_all, tidx, axis=0)
+    pad = (L1 - 1) - tiles.shape[1]
+    if pad:
+        tiles = jnp.pad(tiles, ((0, 0), (0, pad)))
+    return rescore_pallas(peq, tiles, qmeta, W, levels, rows, L1)
+
+
 def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
                                max_ed, W: int, smat: np.ndarray):
     """Dispatch a device-gather rescore chunk; returns device arrays.
 
     Finalize with `rescore_finalize` after all chunks are dispatched so
-    syncs pipeline instead of serializing on device round-trips.
+    syncs pipeline instead of serializing on device round-trips. On TPU
+    the VMEM-resident Pallas kernel runs (bit-identical int32 math);
+    CPU falls back to the jnp scan.
     """
+    rows = min(W * 32, int(-(-int(qlens.max()) // 8)) * 8) if len(qlens) \
+        else W * 32
+    if _use_pallas() and len(pidx) % 256 == 0:
+        Lp = tiles_all.shape[1]
+        # L1 a multiple of 128 keeps every state array lane-aligned
+        L1 = -(-(Lp + 1) // 128) * 128
+        qmeta = np.stack([qlens.astype(np.int32),
+                          max_ed.astype(np.int32)], axis=1)
+        return _pallas_gather(peq_all, tiles_all,
+                              jnp.asarray(pidx.astype(np.int32)),
+                              jnp.asarray(tidx.astype(np.int32)),
+                              jnp.asarray(qmeta), W,
+                              _levels_for(max_ed), rows, L1)
     key = smat.tobytes()
     fn = _GCACHE.get(key)
     if fn is None:
         fn = _GCACHE[key] = make_rescore_gather(smat)
-    rows = min(W * 32, int(-(-int(qlens.max()) // 8)) * 8) if len(qlens) \
-        else W * 32
     return fn(peq_all, tiles_all, jnp.asarray(pidx.astype(np.int32)),
               jnp.asarray(tidx.astype(np.int32)),
               jnp.asarray(qlens.astype(np.int32)),
