@@ -34,7 +34,7 @@ def parse_args(argv):
         "makedb": False, "dbtype": "QUICK", "db_qlen": 500,
         "rebase": False, "rebase_amt": 500, "dedupe": False,
         "threads": 1, "skipambig": False, "fp": False, "prepass": 0,
-        "heur": False, "quiet": False, "shards": 1,
+        "heur": False, "quiet": False, "shards": 1, "latency": 16,
         "kmer": int(os.environ.get("BURST_TPU_SCOUR_N", "15")),
     }
     i = 1
@@ -142,9 +142,12 @@ def parse_args(argv):
         elif arg == "--noprogress":
             a["quiet"] = True
         elif arg in ("--cache", "-c"):
+            # cacheSz is a pure performance tuner in the reference
+            # (prefix-seek row cache, burst.c:5079-5084)
             need("--cache requires integer argument")
         elif arg in ("--latency", "-l"):
-            need("--latency requires integer argument")
+            a["latency"] = int(need("--latency requires integer "
+                                    "argument"))
         elif arg in ("--clustradius", "-cr"):
             need("--clustradius requires integer argument")
         elif arg in ("--dbpartition", "-dp"):
@@ -192,7 +195,7 @@ def run(a) -> int:
             rh, rs, max_len_q=qd.max_len, thres=a["thres"],
             rebase=a["rebase"], rebase_amt=a["rebase_amt"],
             curate=1 if a["dedupe"] else 0, xalpha=a["xalpha"],
-            do_fp=a["fp"], z=a["z"])
+            do_fp=a["fp"], z=a["z"], latency=a["latency"])
 
     taxonomy = None
     if a["tax"]:
@@ -228,8 +231,12 @@ def run(a) -> int:
         writer = modes.B6Writer(fh)
         if a["mode"] == "ANY":
             if isinstance(ed, engine.SparseED):
-                ed = engine.densify(ed, len(qd.seqs), rd.tot_units)
-            modes.report_any(ed, qd, rd, writer, smat)
+                n = len(qd.seqs)
+                qb = max(1, min(16, n // (max(1, a["threads"]) * 128)))
+                modes.report_any_accel(ed, visits, qd, rd, writer, smat,
+                                       qbunch=qb)
+            else:
+                modes.report_any(ed, qd, rd, writer, smat)
             return 0
         juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
         pod_order = None

@@ -17,6 +17,11 @@ EDX_VERSION = 3
 
 
 def is_edx(path: str) -> bool:
+    import os
+    import sys
+    if not os.path.exists(path):
+        sys.stderr.write(f"Cannot open FASTA file: {path}.\n")
+        sys.exit(2)
     with open(path, "rb") as f:
         b = f.read(1)
     if not b:

@@ -113,7 +113,10 @@ def _peq_cache(qd: QueryData, W: int, smat: np.ndarray):
         return got
     qmat, qlens, qw = _query_matrix(qd)
     rows = np.nonzero(qw == W)[0]
-    peq = myers.build_peq(qmat[rows, : 32 * W], qlens[rows], W, smat)
+    if getattr(qd, "xalpha", False):
+        peq = myers.build_peq_x(qmat[rows, : 32 * W], qlens[rows], W)
+    else:
+        peq = myers.build_peq(qmat[rows, : 32 * W], qlens[rows], W, smat)
     row2local = np.full(len(qd.seqs), -1, dtype=np.int64)
     row2local[rows] = np.arange(len(rows))
     cache[key] = (row2local, peq)
@@ -132,7 +135,7 @@ def _peq_device(qd: QueryData, W: int, smat: np.ndarray):
         import jax.numpy as jnp
         row2local, peq = _peq_cache(qd, W, smat)
         n = _pow2_ceil(max(1, peq.shape[0]))
-        padded = np.zeros((n, 16, W), dtype=np.uint32)
+        padded = np.zeros((n, peq.shape[1], W), dtype=np.uint32)
         padded[: peq.shape[0]] = peq
         got = cache[key] = (row2local, jnp.asarray(padded))
     return got
@@ -184,7 +187,10 @@ def compute_ed_matrix(qd: QueryData, rd: RefData,
         rows_a = np.array(rows, dtype=np.int64)
         qarr = qmat[rows_a, :m_pad]
         qlens = qlens_all[rows_a]
-        peq = myers.build_peq(qarr, qlens, W, smat)
+        if getattr(qd, "xalpha", False):
+            peq = myers.build_peq_x(qarr, qlens, W)
+        else:
+            peq = myers.build_peq(qarr, qlens, W, smat)
         for lb, poss in sorted(ubuckets.items()):
             tiles, _ = _tile_matrix(rd, int(lb), np.array(poss), 32)
             qchunk = min(QCHUNK, _pow2_ceil(len(rows)))
@@ -395,6 +401,12 @@ class Visits:
     pass_keys: np.ndarray | None = None   # sorted j*tot_units+unitpos
     filtered: np.ndarray | None = None    # [n] bool
     bad_clump: np.ndarray | None = None   # [n_clumps] bool
+    # bunch-level candidate lists (pre member-filter), for inline-order
+    # reporting: bunch g's list = bflat[boffs[g]:boffs[g+1]] + BadList
+    bflat: np.ndarray | None = None
+    boffs: np.ndarray | None = None
+    qbunch: int = 1
+    bad_list: np.ndarray | None = None
 
     def get(self, j: int):
         if self.full[j]:
@@ -598,7 +610,10 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
         dst = (offs[:b1, None] + cands_per_q[:, None] +
                np.arange(nb)[None, :]).ravel()
         out[dst] = np.tile(bad_arr, b1)
-    vis = Visits(flat=out, offs=offs, full=full)
+    boffs = np.zeros(n_bunches + 1, dtype=np.int64)
+    boffs[1:] = np.cumsum(cands_per_b)
+    vis = Visits(flat=out, offs=offs, full=full, bflat=kc, boffs=boffs,
+                 qbunch=qbunch, bad_list=bad_arr)
 
     # sound per-unit prefilter for clear unibins (q-gram pigeonhole at
     # unit granularity; cannot drop any winner -- see build_unit_index).

@@ -17,11 +17,21 @@ from __future__ import annotations
 import numpy as np
 
 
+def _open_checked(path: str):
+    import os
+    import sys
+    if not os.path.exists(path):
+        # reference error shape (burst.c:488): message + exit code 2
+        sys.stderr.write(f"Cannot open FASTA file: {path}.\n")
+        sys.exit(2)
+    return open(path, "rb")
+
+
 def parse_fasta(path: str):
     headers: list[bytes] = []
     seqs: list[bytearray] = []
     last_hd = False
-    with open(path, "rb") as f:
+    with _open_checked(path) as f:
         for raw in f:
             line = raw.rstrip(b"\r\n")
             if line.startswith(b">"):
@@ -46,7 +56,7 @@ def parse_fasta(path: str):
 
 def parse_fasta_fast(path: str):
     """Strict 2-line FASTA (the reference's query fast path)."""
-    with open(path, "rb") as f:
+    with _open_checked(path) as f:
         data = f.read()
     if not data.startswith(b">"):
         raise ValueError("ERROR: Malformatted FASTA file.")

@@ -19,6 +19,12 @@ class Taxonomy:
     @classmethod
     def parse(cls, path: str, ncbi: bool = False) -> "Taxonomy":
         pairs = []
+        import os
+        import sys
+        if not os.path.exists(path):
+            # reference error shape (burst.c:452) + exit code 2
+            sys.stderr.write(f"Cannot open TAXONOMY file: {path}.\n")
+            sys.exit(2)
         with open(path, "rb") as f:
             for n, raw in enumerate(f):
                 line = raw.rstrip(b"\r\n")

@@ -72,16 +72,43 @@ def build_peq(queries: np.ndarray, qlens: np.ndarray, W: int,
 
 
 def _select_peq(peq_t: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
-    """Select Peq rows by reference letter via a 4-level binary tree.
+    """Select Peq rows by reference letter via a binary select tree.
 
-    peq_t: [16, W, B] uint32, col: [B] int32 (values 0..15)
-    Returns [W, B] uint32. 15 vector selects -- no gathers, VPU-friendly.
+    peq_t: [C, W, B] uint32 (C a power of two; 16 for nucleotides, up
+    to 256 for Xalpha), col: [B] int32 codes.
+    Returns [W, B] uint32. C-1 vector selects -- no gathers.
     """
     v = peq_t
-    for k in range(4):
+    levels = int(np.log2(peq_t.shape[0]))
+    for k in range(levels):
         bit = ((col >> k) & 1).astype(bool)                  # [B]
         v = jnp.where(bit[None, None, :], v[1::2], v[0::2])
     return v[0]                                              # [W, B]
+
+
+def build_peq_x(queries: np.ndarray, qlens: np.ndarray, W: int,
+                ncodes: int = 256) -> np.ndarray:
+    """Peq tables for Xalpha (raw byte equality, burst.c aded_xalpha):
+    zero-cost match iff bytes equal; pad code 0 matches nothing real
+    (queries never contain NUL). Rows >= qlen are wildcards."""
+    B = queries.shape[0]
+    m_pad = W * WORD
+    q = np.zeros((B, m_pad), dtype=np.uint8)
+    q[:, : queries.shape[1]] = queries[:, :m_pad]
+    rows = np.arange(m_pad)[None, :]
+    is_pad_row = rows >= qlens[:, None]
+    codes = np.arange(ncodes, dtype=np.uint8)
+    match = (q[:, :, None] == codes[None, None, :]) | \
+        is_pad_row[:, :, None]                     # [B, m_pad, C]
+    bits = (np.uint32(1) << (np.arange(m_pad, dtype=np.uint32) % WORD))
+    words = rows // WORD
+    peq = np.zeros((B, ncodes, W), dtype=np.uint32)
+    for w in range(W):
+        sel = (words[0] == w)
+        chunk = match[:, sel, :]
+        peq[:, :, w] = (chunk.astype(np.uint32)
+                        * bits[sel][None, :, None]).sum(axis=1)
+    return peq
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
@@ -169,10 +196,12 @@ def myers_min_ed_cross(peq: jnp.ndarray, tiles: jnp.ndarray, W: int
             jnp.full((Q, T), W * WORD, jnp.int32))
     one = jnp.uint32(1)
 
+    levels = int(np.log2(peq.shape[1]))
+
     def step(state, col):
         VP, VN, score, best = state
-        v = peq_t                                            # [16, W, Q, 1]
-        for k in range(4):
+        v = peq_t                                            # [C, W, Q, 1]
+        for k in range(levels):
             bit = ((col >> k) & 1).astype(bool)              # [T]
             v = jnp.where(bit[None, None, None, :], v[1::2], v[0::2])
         Eq = v[0]                                            # [W, Q, T]

@@ -64,7 +64,7 @@ def make_rescore(smat_np: np.ndarray):
         peq_t = jnp.transpose(peq, (1, 2, 0))                # [16,W,P]
         v = peq_t[:, :, :, None]
         colv = tiles.astype(jnp.int32)                       # [P,Lp]
-        for kbit in range(4):
+        for kbit in range(int(np.log2(peq.shape[1]))):
             bit = ((colv >> kbit) & 1).astype(bool)          # [P,Lp]
             v = jnp.where(bit[None, None, :, :], v[1::2], v[0::2])
         eq_cols = v[0]                                       # [W,P,Lp]
@@ -222,7 +222,8 @@ def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
     """
     rows = min(W * 32, int(-(-int(qlens.max()) // 8)) * 8) if len(qlens) \
         else W * 32
-    if _use_pallas() and len(pidx) % 256 == 0:
+    if _use_pallas() and len(pidx) % 256 == 0 and \
+            peq_all.shape[1] == 16:
         Lp = tiles_all.shape[1]
         # L1 a multiple of 128 keeps every state array lane-aligned
         L1 = -(-(Lp + 1) // 128) * 128

@@ -357,6 +357,105 @@ def _lca(taxa: list[bytes], taxacut: int):
     return bytes(out), lv
 
 
+def report_any_accel(sed, visits, qd: QueryData, rd: RefData,
+                     writer: B6Writer, smat=None, qbunch: int = 1):
+    """ANY mode on the accel path: hits print inline during the scan
+    (burst.c:4239-4275) -- per bunch, clumps in visit order, queries in
+    bunch order; the printed lane is the first attaining the clump min.
+    Full-scan unibins print afterwards in full-path order."""
+    from .engine import rescore_winners
+
+    sed.materialize()
+    nj = len(qd.seqs)
+    budgets = qd.ed[qd.six].astype(np.int64)
+    # per (unibin, clump): min ED and first lane attaining it
+    key = sed.pj * rd.tot_units + sed.pp
+    so = np.argsort(key)            # lane-ascending within (j, clump)
+    pj_s, pp_s, pe_s = sed.pj[so], sed.pp[so], sed.pe[so]
+    ck = pj_s * rd.tot_units + (pp_s // VECSZ)
+    spent = np.zeros(qd.num_uniq, dtype=bool)   # budget is per base query
+    hits = []                       # (juni, refpos, ed) in print order
+    b1 = int(np.searchsorted(visits.full, True))
+    grp_lo = np.searchsorted(ck, np.arange(nj) * rd.tot_units)
+    grp_hi = np.searchsorted(ck, (np.arange(nj) + 1) * rd.tot_units)
+    if visits.bflat is not None:
+        qbunch = visits.qbunch
+    for z in range(0, b1, qbunch):
+        bunch = range(z, min(z + qbunch, b1))
+        if visits.bflat is not None:
+            g = z // qbunch
+            v = np.concatenate(
+                [visits.bflat[visits.boffs[g]: visits.boffs[g + 1]],
+                 visits.bad_list])
+        else:
+            v = visits.get(z)
+        if v is None:
+            continue
+        for c in v:
+            for j in bunch:
+                if spent[qd.six[j]]:
+                    continue
+                a, b = int(grp_lo[j]), int(grp_hi[j])
+                seg = slice(a, b)
+                sel = (pp_s[seg] // VECSZ) == c
+                if not sel.any():
+                    continue
+                lanes_ed = pe_s[seg][sel]
+                lanes_pp = pp_s[seg][sel]
+                # ANY reassigns min = Emac (burst.c:4224): the printed
+                # lane is the FIRST with ED <= budget, lane order
+                ok = lanes_ed <= budgets[j]
+                if not ok.any():
+                    continue
+                w = int(np.argmax(ok))
+                hits.append((j, int(lanes_pp[w]), int(lanes_ed[w])))
+                spent[qd.six[j]] = True
+            if all(spent[qd.six[j]] for j in bunch):
+                break
+    _emit_any(hits, qd, rd, writer, smat)
+    # full-scan unibins: classic full-path order
+    if len(sed.full_rows):
+        full_hits = []
+        for ji, j in enumerate(sed.full_rows):
+            bud = int(budgets[j])
+            row = sed.ed_full[ji]
+            ok = np.nonzero(row <= bud)[0]
+            if len(ok):
+                full_hits.append((int(j), int(ok[0]), int(row[ok[0]])))
+        full_hits.sort(key=lambda h: (h[1] // VECSZ, h[0], h[1] % VECSZ))
+        _emit_any(full_hits, qd, rd, writer, smat)
+
+
+def _emit_any(hits, qd: QueryData, rd: RefData, writer: B6Writer, smat):
+    from .engine import rescore_winners
+
+    if not hits:
+        return
+    juni = np.array([h[0] for h in hits], dtype=np.int64)
+    refpos = np.array([h[1] for h in hits], dtype=np.int64)
+    eds = np.array([h[2] for h in hits], dtype=np.int64)
+    pods = rescore_winners(qd, rd, juni, refpos, eds, "ANY", smat)
+    # restore input order (rescore_winners re-sorts into pod order)
+    pos = {(int(j), int(p)): t for t, (j, p, _) in enumerate(hits)}
+    order = sorted(range(len(hits)),
+                   key=lambda ix: pos[(int(pods.juni[ix]),
+                                       int(pods.refpos[ix]))])
+    for ix in order:
+        i = int(pods.six[ix])
+        qlen = int(qd.lens[i])
+        rix = int(rd.ix_srt[pods.refpos[ix]])
+        gq, gr = int(pods.gap_q[ix]), int(pods.gap_r[ix])
+        num_gap = gq + gr
+        mo = _m_off(rd, rix)
+        st, edx = _coords(bool(pods.rc[ix]), int(pods.final_pos[ix]),
+                          qlen, gr, mo)
+        for j in range(int(qd.offset[i]), int(qd.offset[i + 1])):
+            writer.row(qd.heads_sorted[j], rd.heads[rix], pods.score[ix],
+                       qlen + num_gap, int(pods.ed[ix]) - num_gap, num_gap,
+                       qlen, st, edx, int(pods.ed[ix]),
+                       int(j > qd.offset[i]), None)
+
+
 def report_any(ed_matrix: np.ndarray, qd: QueryData, rd: RefData,
                writer: B6Writer, smat=None):
     """ANY mode: first valid hit per query in (clump asc, row asc, lane asc)

@@ -39,6 +39,7 @@ class QueryData:
     num_uniq: int
     max_len: int
     min_len: int
+    xalpha: bool = False
 
 
 def process_queries(headers, raw_seqs, thres: float, do_rc: bool,
@@ -87,7 +88,7 @@ def process_queries(headers, raw_seqs, thres: float, do_rc: bool,
         heads_sorted=heads_sorted, offset=offset, seqs=all_seqs,
         six=np.array(six, dtype=np.int64), rc=np.array(rc, dtype=bool),
         lens=lens, ed=ed, num_uniq=num_uniq,
-        max_len=int(lens.max()), min_len=int(lens.min()))
+        max_len=int(lens.max()), min_len=int(lens.min()), xalpha=xalpha)
 
 
 def bin_queries_for_accel(qd: QueryData, k: int, z: int,
@@ -335,7 +336,7 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
                        rebase_amt: int = 500, curate: int = 0,
                        xalpha: bool = False, do_fp: bool = False,
                        dbtype: str = "QUICK", cparts: int = 1,
-                       z: int = 1) -> RefData:
+                       z: int = 1, latency: int = LATENCY) -> RefData:
     seqs = [s if xalpha else translate(s) for s in raw_seqs]
     parents = seqs
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
@@ -355,25 +356,31 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
     # (burst.c:1341-1344) on pointers into the parent sequence, so the
     # sort key runs PAST the shear end to the end of the parent (the
     # NUL separator): duplicate shears order by their parents' tails.
-    order = np.argsort(lens, kind="stable")
+    # -l 0 disables sorting entirely (burst.c:2188-2190).
+    no_sort = latency == 0
+    if no_sort:
+        order = np.arange(tot, dtype=np.int64)
+    else:
+        order = np.argsort(lens, kind="stable")
     lens_sorted = lens[order]
     if start is not None:
         keys = [parents[pix[i]][start[i]:].tobytes() for i in range(tot)]
     else:
         keys = [seqs[i].tobytes() for i in range(tot)]
-    lat = 0 if do_fp else LATENCY
+    lat = 0 if do_fp else latency
     srt = list(order)
     cur_tol = int(lens_sorted[0])
     prev = 0
     bounds = []
-    for i in range(1, tot):
-        if int(lens_sorted[i]) > cur_tol + lat:
-            cur_tol = int(lens_sorted[i])
-            if i - prev > 1:
-                bounds.append((prev, i, False))
-            prev = i
-    if prev < tot - 1:
-        bounds.append((prev, tot, True))
+    if not no_sort:
+        for i in range(1, tot):
+            if int(lens_sorted[i]) > cur_tol + lat:
+                cur_tol = int(lens_sorted[i])
+                if i - prev > 1:
+                    bounds.append((prev, i, False))
+                prev = i
+        if prev < tot - 1:
+            bounds.append((prev, tot, True))
     shear_bytes = [seqs[i].tobytes() for i in range(tot)] \
         if start is not None else keys
     for a, b, last in bounds:

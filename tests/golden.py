@@ -73,6 +73,19 @@ def make_reads(rng, refs, n_reads, read_len=100, max_err=3, rc_frac=0.0,
     return reads
 
 
+def read_fasta(path):
+    out = []
+    name = None
+    for line in open(path):
+        line = line.strip()
+        if line.startswith(">"):
+            name = line[1:]
+        elif name is not None:
+            out.append((name, line))
+            name = None
+    return out
+
+
 def write_fasta(path, entries):
     with open(path, "w") as f:
         for h, s in entries:

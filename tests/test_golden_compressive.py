@@ -64,6 +64,7 @@ def test_compressive_db_bytes(dupset):
     ("ALLPATHS", ("-fr",)),
     ("CAPITALIST", ("-fr",)),
     ("FORAGE", ("-fr", "-i", "0.95")),
+    ("ANY", ("-fr",)),
 ])
 def test_compressive_search(dupset, mode, extra):
     """Accel search on the duplicate-heavy DB: QBUNCH=3 bunching, tied
