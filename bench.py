@@ -79,9 +79,10 @@ def run_pipeline(qheads, reads, rd, acc, smat):
     podsets = []
     for sub, sed in staged:
         juni, refpos, eds = engine.select_pods(sub, rd, sed, "BEST")
-        last0 = sed.lookup_last(juni, refpos, rd.tot_units)
+        win_cols = sed.lookup_cols(juni, refpos, rd.tot_units)
         podsets.append((sub, engine.rescore_winners(
-            sub, rd, juni, refpos, eds, "BEST", smat, last0=last0)))
+            sub, rd, juni, refpos, eds, "BEST", smat,
+            win_cols=win_cols)))
     for sub, pods in podsets:
         modes.report_best(pods, sub, rd, writer)
     return buf.getvalue().count("\n")

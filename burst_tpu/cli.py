@@ -240,14 +240,14 @@ def run(a) -> int:
             return 0
         juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
         pod_order = None
-        last0 = None
+        win_cols = None
         if visits is not None:
             pod_order = engine.accel_pod_order(qd, rd, visits, juni,
                                                refpos, eds)
-            last0 = ed.lookup_last(juni, refpos, rd.tot_units)
+            win_cols = ed.lookup_cols(juni, refpos, rd.tot_units)
         pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
                                       a["mode"], smat, pod_order,
-                                      last0=last0)
+                                      win_cols=win_cols)
         if a["mode"] in ("ALLPATHS", "FORAGE"):
             modes.report_allpaths_or_forage(
                 pods, qd, rd, writer, taxonomy,

@@ -18,8 +18,8 @@ import numpy as np
 from .alphabet import score_matrix
 from .kernels import myers
 from .kernels.rescore import (  # noqa: F401
-    rescore_finalize, rescore_pairs, rescore_pairs_gather,
-    rescore_pairs_gather_async)
+    rescore_finalize, rescore_finalize_host, rescore_pairs,
+    rescore_pairs_gather, rescore_pairs_gather_async)
 from .process import QueryData, RefData
 
 VECSZ = 16  # the reference's clump width; defines pod ordering only
@@ -204,9 +204,12 @@ def compute_ed_matrix(qd: QueryData, rd: RefData,
                     nt = min(tchunk, len(poss) - t0)
                     pending.append((rows[q0:q0 + nq], poss[t0:t0 + nt],
                                     block, nq, nt))
-    for rws, pss, block, nq, nt in pending:
-        block = np.minimum(np.asarray(block), 255).astype(np.uint8)
-        ed[np.ix_(rws, pss)] = block[:nq, :nt]
+    if pending:
+        import jax
+        host = jax.device_get([b for _, _, b, _, _ in pending])
+        for (rws, pss, _, nq, nt), block in zip(pending, host):
+            block = np.minimum(block, 255).astype(np.uint8)
+            ed[np.ix_(rws, pss)] = block[:nq, :nt]
     return ed
 
 
@@ -285,13 +288,22 @@ def select_pods(qd: QueryData, rd: RefData, ed, mode: str,
 def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
                     mode: str, smat: np.ndarray | None = None,
                     pod_order: np.ndarray | None = None,
-                    last0: np.ndarray | None = None) -> Pods:
+                    last0: np.ndarray | None = None,
+                    win_cols=None) -> Pods:
     """Phase B: exact stats for winner pairs, then reference pod ordering.
 
     `last0` (optional, from SparseED.lookup_last): zero-ED winners have
     no gaps, identity exactly 1.0, and final_pos = the phase-A
     last-best column minus the wildcard pad shift -- they skip the
     rescore kernel entirely.
+
+    `win_cols` (optional, from SparseED.lookup_cols): per-pair
+    (first, last) best columns in phase-A padded coordinates. Pairs
+    whose tie span fits a narrow window run the rescore DP on a
+    [~rows+budget]-column slice of the tile instead of its full width
+    -- exact (every min-ED last-row column and every min-cost path
+    reaching one lies inside the slice; boundary paths are achievable
+    upper bounds), and several times less kernel work on long tiles.
     """
     if smat is None:
         smat = score_matrix()
@@ -317,6 +329,8 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
     qws = qw_all[juni] if n else np.zeros(0, np.int64)
     lbs = _unit_lb(rd)[refpos] if n else np.zeros(0, np.int64)
     todo = np.ones(n, dtype=bool)
+    if last0 is None and win_cols is not None:
+        last0 = win_cols[1]
     if last0 is not None and n:
         skip = (out_ed == 0) & (np.asarray(last0) > 0)
         if skip.any():
@@ -324,40 +338,85 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
             fpos[skip] = np.asarray(last0)[skip] - \
                 (qws[skip] * 32 - qlens_all[juni[skip]])
             todo &= ~skip
+    # per-pair window offsets (see docstring); -1 = full-width
+    x0_all = np.full(n, -1, dtype=np.int64)
+    span_all = np.zeros(n, dtype=np.int64)
+    if win_cols is not None and n:
+        first_m = np.asarray(win_cols[0], dtype=np.int64)
+        last_m = np.asarray(win_cols[1], dtype=np.int64)
+        known = (first_m > 0) & (last_m > 0)
+        # x0 = real_first - qlen - bound - 1 in 0-based tile coords;
+        # the (rows - qlen) pad shift cancels out of the margin
+        x0c = np.maximum(first_m - qws * 32 - bound - 1, 0)
+        x0_all[known] = x0c[known]
+        span_all[known] = (last_m - first_m)[known]
+
+    def _dispatch(sel, W, lb, peq_dev, tiles_dev, prows, trows,
+                  x0s, Lw):
+        pchunk = min(QCHUNK, _pow2_ceil(len(sel)))
+        for s0 in range(0, len(sel), pchunk):
+            part = sel[s0:s0 + pchunk]
+            pidx = np.zeros(pchunk, np.int32)
+            tidx = np.zeros(pchunk, np.int32)
+            pidx[: len(part)] = prows[s0:s0 + pchunk]
+            tidx[: len(part)] = trows[s0:s0 + pchunk]
+            qlens = np.full(pchunk, 2, np.int64)  # dummies stay valid
+            qlens[: len(part)] = qlens_all[juni[part]]
+            bnd = np.zeros(pchunk, np.int64)
+            bnd[: len(part)] = bound[part]
+            if x0s is None:
+                dev = rescore_pairs_gather_async(
+                    peq_dev, tiles_dev, pidx, tidx, qlens, bnd,
+                    int(W), smat)
+                pending.append((part, qlens, dev, None))
+            else:
+                xc = np.zeros(pchunk, np.int64)
+                xc[: len(part)] = x0s[s0:s0 + pchunk]
+                dev = rescore_pairs_gather_async(
+                    peq_dev, tiles_dev, pidx, tidx, qlens, bnd,
+                    int(W), smat, x0=xc, Lw=Lw)
+                pending.append((part, qlens, dev, xc))
+
     for W in np.unique(qws[todo] if n else qws):
         for lb in np.unique(lbs[todo & (qws == W)]):
-            sel = order[todo & (qws == W) & (lbs == lb)]
+            grp = todo & (qws == W) & (lbs == lb)
             m_pad = int(W) * 32
             lp = int(lb) + m_pad
             lp = -(-lp // 64) * 64
             pos2row, tiles_dev = _tiles_device(rd, int(lb), lp - int(lb))
-            trows = pos2row[refpos[sel]]
-            # canonical batch height: pow2-padded, chunked at QCHUNK
             row2local, peq_dev = _peq_device(qd, int(W), smat)
-            prows = row2local[juni[sel]]
-            pchunk = min(QCHUNK, _pow2_ceil(len(sel)))
-            for s0 in range(0, len(sel), pchunk):
-                part = sel[s0:s0 + pchunk]
-                pidx = np.zeros(pchunk, np.int32)
-                tidx = np.zeros(pchunk, np.int32)
-                pidx[: len(part)] = prows[s0:s0 + pchunk]
-                tidx[: len(part)] = trows[s0:s0 + pchunk]
-                qlens = np.full(pchunk, 2, np.int64)  # dummies stay valid
-                qlens[: len(part)] = qlens_all[juni[part]]
-                bnd = np.zeros(pchunk, np.int64)
-                bnd[: len(part)] = bound[part]
-                dev = rescore_pairs_gather_async(
-                    peq_dev, tiles_dev, pidx, tidx, qlens, bnd,
-                    int(W), smat)
-                pending.append((part, qlens, dev))
-    for part, qlens, dev in pending:
-        e, gq, gr, fp, sc = rescore_finalize(dev, qlens)
-        n = len(part)
-        gap_q[part] = gq[:n]
-        gap_r[part] = gr[:n]
-        fpos[part] = fp[:n]
-        score[part] = sc[:n]
-        out_ed[part] = e[:n]
+            # windowed subset: tie span + scan rows + budget must fit Lw
+            qmax = int(qlens_all[juni[grp]].max()) if grp.any() else 2
+            rows_g = min(m_pad, -(-qmax // 8) * 8)
+            bmax = int(bound[grp].max()) if grp.any() else 0
+            Lw = -(-(rows_g + bmax + 2) // 128) * 128
+            L1_full = -(-(lp + 1) // 128) * 128
+            fits = grp & (x0_all >= 0) & \
+                (span_all <= Lw - 1 - rows_g - bound - 1)
+            if Lw >= L1_full:
+                fits &= False
+            for sub, x0flag in ((fits, True), (grp & ~fits, False)):
+                sel = order[sub]
+                if not len(sel):
+                    continue
+                trows = pos2row[refpos[sel]]
+                prows = row2local[juni[sel]]
+                _dispatch(sel, W, lb, peq_dev, tiles_dev, prows, trows,
+                          x0_all[sel] if x0flag else None, Lw)
+    # one batched fetch for every chunk's outputs: separate np.asarray
+    # conversions each pay a device->host RPC round trip
+    if pending:
+        import jax
+        host = jax.device_get([o for _, _, dev, _ in pending for o in dev])
+        for ci, (part, qlens, dev, xc) in enumerate(pending):
+            e, gq, gr, fp = host[4 * ci: 4 * ci + 4]
+            e, gq, gr, fp, sc = rescore_finalize_host(e, gq, gr, fp, qlens)
+            n = len(part)
+            gap_q[part] = gq[:n]
+            gap_r[part] = gr[:n]
+            fpos[part] = fp[:n] + (xc[:n] if xc is not None else 0)
+            score[part] = sc[:n]
+            out_ed[part] = e[:n]
 
     # Reference pod ordering: single-thread full-path insertion order is
     # (clump asc, query-row asc, lane asc) head-inserted, i.e. iteration
@@ -424,27 +483,44 @@ class SparseED:
     ed_full: np.ndarray    # [len(full_rows), tot_units] uint8
     pending: list | None = None   # deferred (part, device result) chunks
     plast: np.ndarray | None = None  # [P] last best column (padded coords)
+    pfirst: np.ndarray | None = None  # [P] first best column (padded coords)
 
     def materialize(self):
-        """Sync deferred phase-A device chunks into pe."""
+        """Sync deferred phase-A device chunks into pe.
+
+        All chunk outputs are fetched with ONE jax.device_get: separate
+        np.asarray conversions each pay a device->host RPC round trip
+        (tens of ms on tunneled TPU rigs)."""
         if self.pending is not None:
+            import jax
             self.pe = np.full(len(self.pj), 255, dtype=np.int64)
             self.plast = np.full(len(self.pj), -1, dtype=np.int64)
+            self.pfirst = np.full(len(self.pj), -1, dtype=np.int64)
+            flat = []
+            for part, res in self.pending:
+                flat.extend(res if isinstance(res, tuple) else (res,))
+            host = jax.device_get(flat)
+            i = 0
             for part, res in self.pending:
                 if isinstance(res, tuple):
-                    self.pe[part] = np.asarray(res[0])[: len(part)]
-                    self.plast[part] = np.asarray(res[1])[: len(part)]
+                    self.pe[part] = host[i][: len(part)]
+                    self.pfirst[part] = host[i + 1][: len(part)]
+                    self.plast[part] = host[i + 2][: len(part)]
+                    i += 3
                 else:
-                    self.pe[part] = np.asarray(res)[: len(part)]
+                    self.pe[part] = host[i][: len(part)]
+                    i += 1
             np.minimum(self.pe, 255, out=self.pe)
             self.pending = None
         return self
 
-    def lookup_last(self, juni, refpos, tot_units: int):
-        """Last-best-column per (unibin, unit) winner; -1 if unknown."""
-        out = np.full(len(juni), -1, dtype=np.int64)
+    def lookup_cols(self, juni, refpos, tot_units: int):
+        """(first, last) best columns per (unibin, unit) winner; -1 if
+        unknown (full-scan rows have no per-pair column record)."""
+        first = np.full(len(juni), -1, dtype=np.int64)
+        last = np.full(len(juni), -1, dtype=np.int64)
         if self.plast is None or not len(self.pj):
-            return out
+            return first, last
         keys = self.pj * tot_units + self.pp
         so = np.argsort(keys)
         ks = keys[so]
@@ -452,8 +528,14 @@ class SparseED:
         loc = np.searchsorted(ks, want)
         np.minimum(loc, len(ks) - 1, out=loc)
         hit = ks[loc] == want
-        out[hit] = self.plast[so][loc[hit]]
-        return out
+        last[hit] = self.plast[so][loc[hit]]
+        if self.pfirst is not None:
+            first[hit] = self.pfirst[so][loc[hit]]
+        return first, last
+
+    def lookup_last(self, juni, refpos, tot_units: int):
+        """Last-best-column per (unibin, unit) winner; -1 if unknown."""
+        return self.lookup_cols(juni, refpos, tot_units)[1]
 
 
 def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
@@ -763,8 +845,11 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
                     peq_dev, tiles_dev, pidx, tidx, int(W))))
     if defer:
         return pending
-    for part, res in pending:
-        out[part] = np.asarray(res[0])[: len(part)]
+    if pending:
+        import jax
+        host = jax.device_get([res[0] for _, res in pending])
+        for (part, _), e in zip(pending, host):
+            out[part] = e[: len(part)]
     return out
 
 

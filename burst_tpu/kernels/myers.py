@@ -260,10 +260,11 @@ def myers_min_ed_gather(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("W",))
 def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
                             pidx: jnp.ndarray, tidx: jnp.ndarray, W: int):
-    """Like myers_min_ed_gather but also returns the LAST (1-based,
-    padded-coordinate) column attaining the running minimum -- for
-    zero-ED winners this equals the rescore kernel's final_pos + the
-    (32W - qlen) pad shift, letting phase B be skipped entirely."""
+    """Like myers_min_ed_gather but also returns the FIRST and LAST
+    (1-based, padded-coordinate) columns attaining the final minimum --
+    for zero-ED winners `last` equals the rescore kernel's final_pos +
+    the (32W - qlen) pad shift, letting phase B be skipped entirely,
+    and (first, last) bound the tie span for the windowed rescore."""
     peq = jnp.take(peq_all, pidx, axis=0)
     tiles = jnp.take(tiles_all, tidx, axis=0)
     B = peq.shape[0]
@@ -274,11 +275,12 @@ def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
     zero = jnp.zeros((W, B), dtype=jnp.uint32)
     init = (ones, zero, jnp.full((B,), W * WORD, jnp.int32),
             jnp.full((B,), W * WORD, jnp.int32),
-            jnp.zeros((B,), jnp.int32), jnp.int32(0))
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+            jnp.int32(0))
     one = jnp.uint32(1)
 
     def step(state, col):
-        VP, VN, score, best, last, j = state
+        VP, VN, score, best, first, last, j = state
         Eq = _select_peq(peq_t, col)
         Xv = Eq | VN
         sums = []
@@ -298,8 +300,10 @@ def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
         score = score + (Ph[W - 1] >> 31).astype(jnp.int32) \
                       - (Mh[W - 1] >> 31).astype(jnp.int32)
         j = j + 1
+        strict = score < best
         upd = score <= best
         best = jnp.where(upd, score, best)
+        first = jnp.where(strict, j, first)
         last = jnp.where(upd, j, last)
         ph_list, mh_list = [], []
         pc = jnp.zeros((B,), jnp.uint32)
@@ -313,10 +317,10 @@ def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
         Mhs = jnp.stack(mh_list)
         VP = Mhs | ~(Xv | Phs)
         VN = Phs & Xv
-        return (VP, VN, score, best, last, j), None
+        return (VP, VN, score, best, first, last, j), None
 
-    (_, _, _, best, last, _), _ = jax.lax.scan(step, init, cols)
-    return best, last
+    (_, _, _, best, first, last, _), _ = jax.lax.scan(step, init, cols)
+    return best, first, last
 
 
 def min_ed_numpy_reference(q: np.ndarray, r: np.ndarray, W: int | None = None,

@@ -179,7 +179,29 @@ def make_rescore_gather(smat_np: np.ndarray):
         tiles = jnp.take(tiles_all, tidx, axis=0)
         return core(peq, qlens, tiles, max_ed, W, levels, rows)
 
-    return fn
+    @functools.partial(jax.jit,
+                       static_argnames=("W", "levels", "rows", "Lw"))
+    def fn_win(peq_all, tiles_all, pidx, tidx, qlens, max_ed, x0,
+               W: int, Lw: int, levels: int | None = None,
+               rows: int | None = None):
+        peq = jnp.take(peq_all, pidx, axis=0)
+        tiles = jnp.take(tiles_all, tidx, axis=0)
+        win = _window_tiles(tiles, x0, Lw)
+        return core(peq, qlens, win, max_ed, W, levels, rows)
+
+    return fn, fn_win
+
+
+def _window_tiles(tiles, x0, Lw: int):
+    """Slice [B, Lw-1] column windows starting at x0 (device gather).
+
+    Indices past the tile end clamp to the last column, which is always
+    a pad (code 0 -> DEAD cost): window width never exceeds the tiles'
+    built-in trailing pad (see engine.rescore_winners window math).
+    """
+    idx = x0[:, None] + jnp.arange(Lw - 1, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(idx, 0, tiles.shape[1] - 1)
+    return jnp.take_along_axis(tiles, idx, axis=1)
 
 
 def _levels_for(max_ed: np.ndarray) -> int:
@@ -211,33 +233,67 @@ def _pallas_gather(peq_all, tiles_all, pidx, tidx, qmeta, W: int,
     return rescore_pallas(peq, tiles, qmeta, W, levels, rows, L1)
 
 
+@functools.partial(jax.jit, static_argnames=("W", "levels", "rows", "L1"))
+def _pallas_gather_win(peq_all, tiles_all, pidx, tidx, qmeta, x0,
+                       W: int, levels: int, rows: int, L1: int):
+    from .rescore_pallas import rescore_pallas
+    peq = jnp.take(peq_all, pidx, axis=0).reshape(len(pidx), 16 * W)
+    tiles = jnp.take(tiles_all, tidx, axis=0)
+    win = _window_tiles(tiles, x0, L1)
+    return rescore_pallas(peq, win, qmeta, W, levels, rows, L1)
+
+
 def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
-                               max_ed, W: int, smat: np.ndarray):
+                               max_ed, W: int, smat: np.ndarray,
+                               x0: np.ndarray | None = None,
+                               Lw: int | None = None):
     """Dispatch a device-gather rescore chunk; returns device arrays.
 
     Finalize with `rescore_finalize` after all chunks are dispatched so
     syncs pipeline instead of serializing on device round-trips. On TPU
     the VMEM-resident Pallas kernel runs (bit-identical int32 math);
     CPU falls back to the jnp scan.
+
+    With `x0`/`Lw` set, the DP runs on per-pair [Lw-1]-column windows of
+    the gathered tiles starting at column offset x0 (0-based array
+    index). The caller guarantees the window covers every minimum-ED
+    last-row column and every min-cost path reaching one (see
+    engine.rescore_winners); returned final_pos is window-local --
+    add x0 back on the host.
     """
     rows = min(W * 32, int(-(-int(qlens.max()) // 8)) * 8) if len(qlens) \
         else W * 32
     if _use_pallas() and len(pidx) % 256 == 0 and \
             peq_all.shape[1] == 16:
-        Lp = tiles_all.shape[1]
+        Lp = tiles_all.shape[1] if Lw is None else (Lw - 1)
         # L1 a multiple of 128 keeps every state array lane-aligned
         L1 = -(-(Lp + 1) // 128) * 128
         qmeta = np.stack([qlens.astype(np.int32),
                           max_ed.astype(np.int32)], axis=1)
+        if x0 is not None:
+            return _pallas_gather_win(
+                peq_all, tiles_all, jnp.asarray(pidx.astype(np.int32)),
+                jnp.asarray(tidx.astype(np.int32)), jnp.asarray(qmeta),
+                jnp.asarray(x0.astype(np.int32)), W,
+                _levels_for(max_ed), rows, L1)
         return _pallas_gather(peq_all, tiles_all,
                               jnp.asarray(pidx.astype(np.int32)),
                               jnp.asarray(tidx.astype(np.int32)),
                               jnp.asarray(qmeta), W,
                               _levels_for(max_ed), rows, L1)
     key = smat.tobytes()
-    fn = _GCACHE.get(key)
-    if fn is None:
-        fn = _GCACHE[key] = make_rescore_gather(smat)
+    fns = _GCACHE.get(key)
+    if fns is None:
+        fns = _GCACHE[key] = make_rescore_gather(smat)
+    fn, fn_win = fns
+    if x0 is not None:
+        return fn_win(peq_all, tiles_all,
+                      jnp.asarray(pidx.astype(np.int32)),
+                      jnp.asarray(tidx.astype(np.int32)),
+                      jnp.asarray(qlens.astype(np.int32)),
+                      jnp.asarray(max_ed.astype(np.int32)),
+                      jnp.asarray(x0.astype(np.int32)), W, Lw,
+                      _levels_for(max_ed), rows)
     return fn(peq_all, tiles_all, jnp.asarray(pidx.astype(np.int32)),
               jnp.asarray(tidx.astype(np.int32)),
               jnp.asarray(qlens.astype(np.int32)),
@@ -245,15 +301,23 @@ def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
               _levels_for(max_ed), rows)
 
 
-def rescore_finalize(out, qlens: np.ndarray):
-    """Host conversion + float32 identity (burst.c:844-860 semantics,
-    with the shipped binary's -Ofast reciprocal rounding)."""
+def rescore_finalize_host(ed, gq, gr, fp, qlens: np.ndarray):
+    """Float32 identity on already-fetched arrays (burst.c:844-860
+    semantics, with the shipped binary's -Ofast reciprocal rounding)."""
     from ..native import score_identity
-    ed, gq, gr, fp = (np.asarray(o) for o in out)
     score = score_identity(ed.astype(np.float32),
                            (qlens.astype(np.int64) + gq
                             ).astype(np.float32))
     return ed, gq, gr, fp, score
+
+
+def rescore_finalize(out, qlens: np.ndarray):
+    """Host conversion + float32 identity. Prefer fetching many chunks
+    with one jax.device_get and calling rescore_finalize_host: on
+    tunneled TPU rigs each separate device->host conversion pays a full
+    RPC round trip."""
+    ed, gq, gr, fp = (np.asarray(o) for o in out)
+    return rescore_finalize_host(ed, gq, gr, fp, qlens)
 
 
 def rescore_pairs_gather(peq_all, tiles_all, pidx, tidx, qlens, max_ed,
