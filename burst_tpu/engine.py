@@ -569,6 +569,31 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
         offs[b1 + 1:] = b1 * nb
         return Visits(flat=np.tile(bad_arr, b1), offs=offs, full=full)
 
+    if qbunch is None:
+        qbunch = n // (max(1, threads) * 128)
+        qbunch = min(16, qbunch)
+        qbunch = max(1, qbunch)
+
+    # thresholds per unibin/bunch (burst.c:4091-4095, 4163-4168)
+    lns = qd.lens[qd.six[:b1]].astype(np.int64)
+    errs = qd.ed[qd.six[:b1]].astype(np.int64)
+    kload = errs * k + k
+    mm_member = np.where(kload < lns, lns - kload, 0)
+    if do_heur:
+        mm_member = np.maximum(mm_member, (lns >> 4) + 1)
+    mm_inner = np.where(kload < lns, lns - kload, 1)
+    n_bunches = (b1 + qbunch - 1) // qbunch
+    mm_bunch = np.full(n_bunches, 1 << 60, dtype=np.int64)
+    if b1:
+        np.minimum.at(mm_bunch, np.arange(b1) // qbunch, mm_member)
+
+    if b1:
+        vis = _accel_candidates_native(
+            qd, rd, acc, b0, b1, qbunch, k, mm_bunch, mm_inner, do_heur,
+            bad_arr, full, n_clumps, _bad_only)
+        if vis is not None:
+            return vis
+
     # word multisets of all accelerator-eligible unibins, batched
     qidx_parts, word_parts = [], []
     # ambiguous unibins: per-query expansion (few)
@@ -596,10 +621,6 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
             word_parts.append(words.ravel())
     if not qidx_parts:
         return _bad_only()
-    if qbunch is None:
-        qbunch = n // (max(1, threads) * 128)
-        qbunch = min(16, qbunch)
-        qbunch = max(1, qbunch)
     qidx = np.concatenate(qidx_parts)
     words = np.concatenate(word_parts)
     span = np.int64(1) << np.int64(2 * k)
@@ -647,18 +668,6 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
     np.minimum(hits, 0xFFFF, out=hits)
     pb = (u2 // n_clumps).astype(np.int64)   # bunch id per candidate
     pc = (u2 % n_clumps).astype(np.int64)
-
-    # thresholds per unibin (burst.c:4091-4095, 4163-4168)
-    lns = qd.lens[qd.six[:b1]].astype(np.int64)
-    errs = qd.ed[qd.six[:b1]].astype(np.int64)
-    kload = errs * k + k
-    mm_member = np.where(kload < lns, lns - kload, 0)
-    if do_heur:
-        mm_member = np.maximum(mm_member, (lns >> 4) + 1)
-    mm_inner = np.where(kload < lns, lns - kload, 1)
-    n_bunches = (b1 + qbunch - 1) // qbunch
-    mm_bunch = np.full(n_bunches, 1 << 60, dtype=np.int64)
-    np.minimum.at(mm_bunch, np.arange(b1) // qbunch, mm_member)
 
     keep = hits > mm_bunch[pb]
     kb = pb[keep]
@@ -730,6 +739,82 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
             vis.pass_keys = ukeys[passing]
         else:
             vis.pass_keys = np.zeros(0, dtype=np.int64)
+        vis.filtered = filtered
+        bad_clump = np.zeros(n_clumps, dtype=bool)
+        bad_clump[bad_arr] = True
+        vis.bad_clump = bad_clump
+    return vis
+
+
+def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
+                             b1: int, qbunch: int, k: int,
+                             mm_bunch, mm_inner, do_heur: bool,
+                             bad_arr, full, n_clumps: int, bad_only):
+    """C++/OpenMP scour path (native/burst_host.cpp): same semantics as
+    the numpy pass in accel_candidates, several times faster. Returns
+    None when the native library is unavailable (numpy path runs)."""
+    from .accel import query_words
+    from .native import load_host, scour_native, unit_prefilter_native
+
+    if load_host() is None:
+        return None
+    n = len(qd.seqs)
+    nb = len(bad_arr)
+    qmat, qlens_all, _ = _query_matrix(qd)
+    # ambiguous unibins: per-query expanded unique words + multiplicity
+    aq_off = np.zeros(b0 + 1, np.int64)
+    aqw_parts, aqm_parts = [], []
+    has_words = False
+    for j in range(b0):
+        words = query_words(qd.seqs[j], k, acc.z, ambiguous=True)
+        if words.size:
+            uw_, um_ = np.unique(words, return_counts=True)
+            aqw_parts.append(uw_.astype(np.int64))
+            aqm_parts.append(um_.astype(np.int64))
+            aq_off[j + 1] = aq_off[j] + len(uw_)
+            has_words = True
+        else:
+            aq_off[j + 1] = aq_off[j]
+    if b1 > b0 and bool((qlens_all[b0:b1] >= k).any()):
+        has_words = True
+    if not has_words:
+        return bad_only()
+    aqw = np.concatenate(aqw_parts) if aqw_parts else np.zeros(0, np.int64)
+    aqm = np.concatenate(aqm_parts) if aqm_parts else np.zeros(0, np.int64)
+    res = scour_native(qmat, qlens_all, b0, b1, qbunch, k, aq_off, aqw,
+                       aqm, acc.csr, n_clumps, mm_bunch, mm_inner)
+    if res is None:
+        return None
+    kc, kh, bcnt, mflat, mcnt = res
+
+    offs = np.zeros(n + 1, dtype=np.int64)
+    offs[1: b1 + 1] = np.cumsum(mcnt + nb)
+    offs[b1 + 1:] = offs[b1]
+    out = np.empty(int(offs[b1]), dtype=np.int64)
+    nm = len(mflat)
+    if nm:
+        csum = np.concatenate(([0], np.cumsum(mcnt)[:-1]))
+        dst = np.repeat(offs[:b1], mcnt) + \
+            (np.arange(nm) - np.repeat(csum, mcnt))
+        out[dst] = mflat
+    if nb:
+        dstb = (offs[:b1, None] + mcnt[:, None] +
+                np.arange(nb)[None, :]).ravel()
+        out[dstb] = np.tile(bad_arr, b1)
+    n_bunches = (b1 + qbunch - 1) // qbunch
+    boffs = np.zeros(n_bunches + 1, dtype=np.int64)
+    boffs[1:] = np.cumsum(bcnt)
+    vis = Visits(flat=out, offs=offs, full=full, bflat=kc, boffs=boffs,
+                 qbunch=qbunch, bad_list=bad_arr)
+
+    if not do_heur and rd_acc_unit_index(rd, acc):
+        keys = unit_prefilter_native(qmat, qlens_all, b0, b1, k,
+                                     acc.u_csr, rd.tot_units, mm_inner)
+        if keys is None:
+            return None
+        vis.pass_keys = keys
+        filtered = np.zeros(n, dtype=bool)
+        filtered[b0:b1] = True
         vis.filtered = filtered
         bad_clump = np.zeros(n_clumps, dtype=bool)
         bad_clump[bad_arr] = True

@@ -49,6 +49,21 @@ class B6Writer:
             cols.append(tax.decode("latin-1"))
         self.fh.write("\t".join(cols) + "\n")
 
+    def write_bytes(self, data: bytes):
+        self.fh.write(data.decode("latin-1"))
+
+
+def _blob_cache(obj, attr: str, items):
+    """Concatenated (blob, offsets) of a list of byte strings, cached."""
+    got = getattr(obj, attr, None)
+    if got is None:
+        off = np.zeros(len(items) + 1, dtype=np.int64)
+        for i, b in enumerate(items):
+            off[i + 1] = off[i] + len(b)
+        got = (b"".join(items), off)
+        setattr(obj, attr, got)
+    return got
+
 
 def _coords(rc: bool, final_pos: int, qlen: int, gap_r: int, m_off: int):
     st = final_pos - qlen + gap_r + m_off
@@ -166,6 +181,72 @@ def _suppress_best(tax: bytes, score: float, taxlevels) -> bytes:
     return b";".join(parts[:lm])
 
 
+def _report_best_native(pods, qd, rd, writer, taxonomy, taxasuppress,
+                        taxlv, order, firsts, rix_all) -> bool:
+    """Columnar BEST emission through the native b6 formatter
+    (burst.c:4847-4891 row semantics); False -> Python loop runs."""
+    from .native import b6_format_native, load_host
+    if load_host() is None:
+        return False
+    wins = order[firsts]
+    i_arr = pods.six[wins].astype(np.int64)
+    rix = rix_all[wins].astype(np.int64)
+    qlen = qd.lens[i_arr].astype(np.int64)
+    gq = pods.gap_q[wins].astype(np.int64)
+    gr = pods.gap_r[wins].astype(np.int64)
+    ed = pods.ed[wins].astype(np.int64)
+    fp = pods.final_pos[wins].astype(np.int64)
+    rc = pods.rc[wins].astype(bool)
+    mo = rd.start[rix].astype(np.int64) if rd.start is not None \
+        else np.zeros(len(wins), np.int64)
+    st = fp - qlen + gr + mo
+    edx = fp + mo
+    st2 = np.where(rc, edx, st)
+    ed2 = np.where(rc, st, edx)
+    num_gap = gq + gr
+    tax_items = None
+    if taxonomy:
+        tax_items = []
+        for w in range(len(wins)):
+            t = taxonomy.lookup(rd.heads[int(rix[w])])
+            if taxasuppress:
+                t = _suppress_best(t, float(pods.score[wins[w]]), taxlv)
+            tax_items.append(t)
+    # expand winners over their duplicate query rows
+    cnt = (qd.offset[i_arr + 1] - qd.offset[i_arr]).astype(np.int64)
+    nrows = int(cnt.sum())
+    if nrows == 0:
+        return True
+    widx = np.repeat(np.arange(len(wins)), cnt)
+    csum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    qrow = (np.arange(nrows) - csum[widx] +
+            qd.offset[i_arr][widx]).astype(np.int64)
+    qblob, qoff = _blob_cache(qd, "_hblob", qd.heads_sorted)
+    rblob, roff = _blob_cache(rd, "_hblob", rd.heads)
+    targs = {}
+    if tax_items is not None:
+        toff = np.zeros(len(tax_items) + 1, np.int64)
+        for i, b in enumerate(tax_items):
+            toff[i + 1] = toff[i] + len(b)
+        targs = dict(tblob=b"".join(tax_items), toff=toff,
+                     trow=widx.astype(np.int64))
+    out = b6_format_native(
+        qblob, qoff, qrow, rblob, roff, rix[widx],
+        pods.score[wins][widx].astype(np.float32),
+        ((qlen + num_gap)[widx] & 0xFFFFFFFF).astype(np.uint32),
+        ((ed - num_gap)[widx] & 0xFFFFFFFF).astype(np.uint32),
+        (num_gap[widx] & 0xFFFFFFFF).astype(np.uint32),
+        (qlen[widx] & 0xFFFFFFFF).astype(np.uint32),
+        (st2[widx] & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+        (ed2[widx] & 0xFFFFFFFF).astype(np.uint32),
+        (ed[widx] & 0xFFFFFFFF).astype(np.uint32),
+        i_arr[widx].astype(np.int64), **targs)
+    if out is None:
+        return False
+    writer.write_bytes(out)
+    return True
+
+
 def report_best(pods: Pods, qd: QueryData, rd: RefData, writer: B6Writer,
                 taxonomy=None, taxasuppress=False, strict=False):
     taxlv = TAXLEVELS_STRICT if strict else TAXLEVELS_LENIENT
@@ -179,6 +260,9 @@ def report_best(pods: Pods, qd: QueryData, rd: RefData, writer: B6Writer,
     order = np.lexsort((rix_all, -pods.score, pods.ed, pods.six))
     six_sorted = pods.six[order]
     firsts = np.unique(six_sorted, return_index=True)[1]
+    if _report_best_native(pods, qd, rd, writer, taxonomy, taxasuppress,
+                           taxlv, order, firsts, rix_all):
+        return
     for w in firsts:
         ix = int(order[w])
         i = int(pods.six[ix])

@@ -1,9 +1,14 @@
-"""Native helpers (C, built on demand via the system compiler).
+"""Native helpers (C/C++, built on demand via the system compiler).
 
 score_rcp_nr: bit-exact float32 identity computation matching the
 reference binary's -Ofast reciprocal sequence (see fastdiv.c). Falls
 back to IEEE float32 division when no compiler is available, which can
 differ by 1 ulp on rare inputs.
+
+burst_host.so (C++/OpenMP): the host-runtime kernels -- k-mer scour +
+candidate selection, unit-level pigeonhole prefilter, blast6 row
+formatting. engine/modes call these when available and fall back to
+the vectorized numpy implementations otherwise.
 """
 from __future__ import annotations
 
@@ -15,6 +20,14 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+_HOST = None
+_HOST_TRIED = False
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U32P = ctypes.POINTER(ctypes.c_uint32)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_F32P = ctypes.POINTER(ctypes.c_float)
 
 
 def _load():
@@ -39,6 +52,193 @@ def _load():
     except Exception:
         _LIB = None
     return _LIB
+
+
+def load_host():
+    """Build (if stale) and load burst_host.so; None if unavailable."""
+    global _HOST, _HOST_TRIED
+    if _HOST_TRIED:
+        return _HOST
+    _HOST_TRIED = True
+    if os.environ.get("BURST_TPU_NO_NATIVE"):
+        _HOST = None
+        return None
+    here = os.path.dirname(__file__)
+    src = os.path.join(here, "burst_host.cpp")
+    so = os.path.join(here, "burst_host.so")
+    try:
+        if not os.path.exists(so) or \
+                os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O2", "-fopenmp", "-shared", "-fPIC",
+                 "-o", so, src],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.scour_run.restype = ctypes.c_long
+        lib.scour_run.argtypes = [
+            _U8P, ctypes.c_long, _I64P,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            _I64P, _I64P, _I64P,
+            _U32P, ctypes.c_long, _I64P, ctypes.c_long,
+            _I64P, _I64P, _U32P,
+            ctypes.c_long, _I64P, _I64P, ctypes.c_long]
+        lib.scour_fetch.argtypes = [_I64P, _I64P, _I64P, _I64P, _I64P]
+        lib.unit_prefilter_run.restype = ctypes.c_long
+        lib.unit_prefilter_run.argtypes = [
+            _U8P, ctypes.c_long, _I64P,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            _U32P, ctypes.c_long, _I64P, ctypes.c_long,
+            _I64P, _I64P, _U32P,
+            ctypes.c_long, _I64P, ctypes.c_long]
+        lib.unit_prefilter_fetch.argtypes = [_I64P]
+        lib.b6_format.restype = ctypes.c_long
+        lib.b6_format.argtypes = [
+            ctypes.c_char_p, _I64P, _I64P,
+            ctypes.c_char_p, _I64P, _I64P,
+            _F32P, _U32P, _U32P, _U32P, _U32P,
+            _I32P, _U32P, _U32P, _I64P,
+            ctypes.c_char_p, _I64P, _I64P,
+            ctypes.c_long, ctypes.c_char_p, ctypes.c_long]
+        _HOST = lib
+    except Exception:
+        _HOST = None
+    return _HOST
+
+
+def _ptr(a: np.ndarray, ty):
+    return a.ctypes.data_as(ty)
+
+
+def _csr_args(csr):
+    """(rank, span, nzw, n_nz, starts, cnts, ids) ctypes views of a
+    SparseCSR, using the dense rank table when it is materializable."""
+    if len(csr.nzw) == 0:
+        z64 = np.zeros(1, np.int64)
+        zu = np.zeros(1, np.uint32)
+        return (None, 0, _ptr(z64, _I64P), 0, _ptr(z64, _I64P),
+                _ptr(z64, _I64P), _ptr(zu, _U32P), [z64, zu])
+    span = int(csr.nzw[-1]) + 1
+    keep = []
+    if span <= (1 << 26):
+        rank = csr._dense_rank(span)
+        rank_p = _ptr(rank, _U32P)
+    else:
+        rank_p, span = None, 0
+    nzw = np.ascontiguousarray(csr.nzw, dtype=np.int64)
+    starts = np.ascontiguousarray(csr.start, dtype=np.int64)
+    cnts = np.ascontiguousarray(csr.cnt, dtype=np.int64)
+    ids = np.ascontiguousarray(csr.ids, dtype=np.uint32)
+    keep += [nzw, starts, cnts, ids]
+    return (rank_p, span, _ptr(nzw, _I64P), len(nzw),
+            _ptr(starts, _I64P), _ptr(cnts, _I64P), _ptr(ids, _U32P),
+            keep)
+
+
+def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
+                 aq_mult, csr, n_clumps, mm_bunch, mm_inner,
+                 threads=0):
+    """Native bunch scour; returns (bflat, bhits, bcnt, mflat, mcnt)
+    or None when the library is unavailable."""
+    lib = load_host()
+    if lib is None:
+        return None
+    qmat = np.ascontiguousarray(qmat, dtype=np.uint8)
+    qlens = np.ascontiguousarray(qlens, dtype=np.int64)
+    aq_off = np.ascontiguousarray(aq_off, dtype=np.int64)
+    aq_words = np.ascontiguousarray(
+        aq_words if len(aq_words) else np.zeros(1), dtype=np.int64)
+    aq_mult = np.ascontiguousarray(
+        aq_mult if len(aq_mult) else np.zeros(1), dtype=np.int64)
+    mm_bunch = np.ascontiguousarray(mm_bunch, dtype=np.int64)
+    mm_inner = np.ascontiguousarray(mm_inner, dtype=np.int64)
+    rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p, keep = _csr_args(csr)
+    packed = lib.scour_run(
+        _ptr(qmat, _U8P), qmat.shape[1] if qmat.ndim == 2 else 0,
+        _ptr(qlens, _I64P), b0, b1, qbunch, k,
+        _ptr(aq_off, _I64P), _ptr(aq_words, _I64P), _ptr(aq_mult, _I64P),
+        rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p,
+        n_clumps, _ptr(mm_bunch, _I64P), _ptr(mm_inner, _I64P), threads)
+    nb = packed & 0xFFFFFFFF
+    nm = packed >> 32
+    n_bunches = (b1 + qbunch - 1) // qbunch
+    bflat = np.empty(max(nb, 1), np.int64)
+    bhits = np.empty(max(nb, 1), np.int64)
+    bcnt = np.empty(max(n_bunches, 1), np.int64)
+    mflat = np.empty(max(nm, 1), np.int64)
+    mcnt = np.empty(max(b1, 1), np.int64)
+    lib.scour_fetch(_ptr(bflat, _I64P), _ptr(bhits, _I64P),
+                    _ptr(bcnt, _I64P), _ptr(mflat, _I64P),
+                    _ptr(mcnt, _I64P))
+    return (bflat[:nb], bhits[:nb], bcnt[:n_bunches], mflat[:nm],
+            mcnt[:b1])
+
+
+def unit_prefilter_native(qmat, qlens, b0, b1, k, u_csr, tot_units,
+                          mm_inner, threads=0):
+    """Native unit-level prefilter; sorted pass keys or None."""
+    lib = load_host()
+    if lib is None:
+        return None
+    qmat = np.ascontiguousarray(qmat, dtype=np.uint8)
+    qlens = np.ascontiguousarray(qlens, dtype=np.int64)
+    mm_inner = np.ascontiguousarray(mm_inner, dtype=np.int64)
+    rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p, keep = _csr_args(u_csr)
+    n = lib.unit_prefilter_run(
+        _ptr(qmat, _U8P), qmat.shape[1] if qmat.ndim == 2 else 0,
+        _ptr(qlens, _I64P), b0, b1, k,
+        rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p,
+        tot_units, _ptr(mm_inner, _I64P), threads)
+    out = np.empty(max(n, 1), np.int64)
+    lib.unit_prefilter_fetch(_ptr(out, _I64P))
+    return out[:n]
+
+
+def b6_format_native(qblob, qoff, qrow, rblob, roff, rrow, score,
+                     al_len, num_mis, num_gap, qlen, st_ix, ed_ix,
+                     mism, last, tblob=None, toff=None, trow=None):
+    """Native blast6 formatting; returns bytes or None."""
+    lib = load_host()
+    if lib is None:
+        return None
+    n = len(score)
+    if n == 0:
+        return b""
+    qoff = np.ascontiguousarray(qoff, np.int64)
+    qrow = np.ascontiguousarray(qrow, np.int64)
+    roff = np.ascontiguousarray(roff, np.int64)
+    rrow = np.ascontiguousarray(rrow, np.int64)
+    score = np.ascontiguousarray(score, np.float32)
+    al_len = np.ascontiguousarray(al_len, np.uint32)
+    num_mis = np.ascontiguousarray(num_mis, np.uint32)
+    num_gap = np.ascontiguousarray(num_gap, np.uint32)
+    qlen = np.ascontiguousarray(qlen, np.uint32)
+    st_ix = np.ascontiguousarray(st_ix, np.int32)
+    ed_ix = np.ascontiguousarray(ed_ix, np.uint32)
+    mism = np.ascontiguousarray(mism, np.uint32)
+    last = np.ascontiguousarray(last, np.int64)
+    if tblob is not None:
+        toff = np.ascontiguousarray(toff, np.int64)
+        trow = np.ascontiguousarray(trow, np.int64)
+        targs = (tblob, _ptr(toff, _I64P), _ptr(trow, _I64P))
+    else:
+        targs = (None, None, None)
+    cap = 256 * n + int(np.diff(qoff)[qrow].sum()) + \
+        int(np.diff(roff)[rrow].sum())
+    if tblob is not None and len(toff) > 1:
+        cap += int(np.diff(toff)[trow].sum())
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        got = lib.b6_format(
+            qblob, _ptr(qoff, _I64P), _ptr(qrow, _I64P),
+            rblob, _ptr(roff, _I64P), _ptr(rrow, _I64P),
+            _ptr(score, _F32P), _ptr(al_len, _U32P),
+            _ptr(num_mis, _U32P), _ptr(num_gap, _U32P),
+            _ptr(qlen, _U32P), _ptr(st_ix, _I32P), _ptr(ed_ix, _U32P),
+            _ptr(mism, _U32P), _ptr(last, _I64P),
+            *targs, n, buf, cap)
+        if got >= 0:
+            return buf.raw[:got]
+        cap = -got + 4096
 
 
 def score_identity(ed: np.ndarray, divisor: np.ndarray) -> np.ndarray:
