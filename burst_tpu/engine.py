@@ -754,7 +754,7 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
     the numpy pass in accel_candidates, several times faster. Returns
     None when the native library is unavailable (numpy path runs)."""
     from .accel import query_words
-    from .native import load_host, scour_native, unit_prefilter_native
+    from .native import load_host, scour_native
 
     if load_host() is None:
         return None
@@ -781,11 +781,14 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
         return bad_only()
     aqw = np.concatenate(aqw_parts) if aqw_parts else np.zeros(0, np.int64)
     aqm = np.concatenate(aqm_parts) if aqm_parts else np.zeros(0, np.int64)
+    do_unit = not do_heur and rd_acc_unit_index(rd, acc)
     res = scour_native(qmat, qlens_all, b0, b1, qbunch, k, aq_off, aqw,
-                       aqm, acc.csr, n_clumps, mm_bunch, mm_inner)
+                       aqm, acc.csr, n_clumps, mm_bunch, mm_inner,
+                       u_csr=acc.u_csr if do_unit else None,
+                       tot_units=rd.tot_units)
     if res is None:
         return None
-    kc, kh, bcnt, mflat, mcnt = res
+    kc, kh, bcnt, mflat, mcnt, ukeys = res
 
     offs = np.zeros(n + 1, dtype=np.int64)
     offs[1: b1 + 1] = np.cumsum(mcnt + nb)
@@ -807,12 +810,8 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
     vis = Visits(flat=out, offs=offs, full=full, bflat=kc, boffs=boffs,
                  qbunch=qbunch, bad_list=bad_arr)
 
-    if not do_heur and rd_acc_unit_index(rd, acc):
-        keys = unit_prefilter_native(qmat, qlens_all, b0, b1, k,
-                                     acc.u_csr, rd.tot_units, mm_inner)
-        if keys is None:
-            return None
-        vis.pass_keys = keys
+    if do_unit:
+        vis.pass_keys = ukeys
         filtered = np.zeros(n, dtype=bool)
         filtered[b0:b1] = True
         vis.filtered = filtered

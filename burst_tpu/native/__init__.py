@@ -81,8 +81,13 @@ def load_host():
             _I64P, _I64P, _I64P,
             _U32P, ctypes.c_long, _I64P, ctypes.c_long,
             _I64P, _I64P, _U32P,
-            ctypes.c_long, _I64P, _I64P, ctypes.c_long]
-        lib.scour_fetch.argtypes = [_I64P, _I64P, _I64P, _I64P, _I64P]
+            ctypes.c_long, _I64P, _I64P,
+            _U32P, ctypes.c_long, _I64P, ctypes.c_long,
+            _I64P, _I64P, _U32P, ctypes.c_long,
+            ctypes.c_long]
+        lib.scour_sizes.argtypes = [_I64P]
+        lib.scour_fetch.argtypes = [_I64P, _I64P, _I64P, _I64P, _I64P,
+                                    _I64P]
         lib.unit_prefilter_run.restype = ctypes.c_long
         lib.unit_prefilter_run.argtypes = [
             _U8P, ctypes.c_long, _I64P,
@@ -136,9 +141,11 @@ def _csr_args(csr):
 
 def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
                  aq_mult, csr, n_clumps, mm_bunch, mm_inner,
-                 threads=0):
-    """Native bunch scour; returns (bflat, bhits, bcnt, mflat, mcnt)
-    or None when the library is unavailable."""
+                 u_csr=None, tot_units=0, threads=0):
+    """Native bunch scour; returns (bflat, bhits, bcnt, mflat, mcnt,
+    ukeys) or None when the library is unavailable. With `u_csr` the
+    unit-level prefilter runs fused in the same pass (ukeys = sorted
+    passing j*tot_units+u keys; None otherwise)."""
     lib = load_host()
     if lib is None:
         return None
@@ -152,25 +159,35 @@ def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
     mm_bunch = np.ascontiguousarray(mm_bunch, dtype=np.int64)
     mm_inner = np.ascontiguousarray(mm_inner, dtype=np.int64)
     rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p, keep = _csr_args(csr)
-    packed = lib.scour_run(
+    if u_csr is not None:
+        (u_rank_p, u_span, u_nzw_p, u_n_nz, u_st_p, u_cn_p, u_id_p,
+         ukeep) = _csr_args(u_csr)
+    else:
+        u_rank_p = u_nzw_p = u_st_p = u_cn_p = u_id_p = None
+        u_span = u_n_nz = 0
+    lib.scour_run(
         _ptr(qmat, _U8P), qmat.shape[1] if qmat.ndim == 2 else 0,
         _ptr(qlens, _I64P), b0, b1, qbunch, k,
         _ptr(aq_off, _I64P), _ptr(aq_words, _I64P), _ptr(aq_mult, _I64P),
         rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p,
-        n_clumps, _ptr(mm_bunch, _I64P), _ptr(mm_inner, _I64P), threads)
-    nb = packed & 0xFFFFFFFF
-    nm = packed >> 32
+        n_clumps, _ptr(mm_bunch, _I64P), _ptr(mm_inner, _I64P),
+        u_rank_p, u_span, u_nzw_p, u_n_nz, u_st_p, u_cn_p, u_id_p,
+        tot_units, threads)
+    sizes = np.zeros(3, np.int64)
+    lib.scour_sizes(_ptr(sizes, _I64P))
+    nb, nm, nu = int(sizes[0]), int(sizes[1]), int(sizes[2])
     n_bunches = (b1 + qbunch - 1) // qbunch
     bflat = np.empty(max(nb, 1), np.int64)
     bhits = np.empty(max(nb, 1), np.int64)
     bcnt = np.empty(max(n_bunches, 1), np.int64)
     mflat = np.empty(max(nm, 1), np.int64)
     mcnt = np.empty(max(b1, 1), np.int64)
+    ukeys = np.empty(max(nu, 1), np.int64)
     lib.scour_fetch(_ptr(bflat, _I64P), _ptr(bhits, _I64P),
                     _ptr(bcnt, _I64P), _ptr(mflat, _I64P),
-                    _ptr(mcnt, _I64P))
+                    _ptr(mcnt, _I64P), _ptr(ukeys, _I64P))
     return (bflat[:nb], bhits[:nb], bcnt[:n_bunches], mflat[:nm],
-            mcnt[:b1])
+            mcnt[:b1], ukeys[:nu] if u_csr is not None else None)
 
 
 def unit_prefilter_native(qmat, qlens, b0, b1, k, u_csr, tot_units,

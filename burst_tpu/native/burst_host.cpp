@@ -67,10 +67,14 @@ extern "C" {
 // and _fetch calls (single-threaded driver assumption).
 struct ScourResult {
     std::vector<int64_t> bflat, bhits, mflat;
-    std::vector<int64_t> bcnt, mcnt;
+    std::vector<int64_t> bcnt, mcnt, ukeys;
 };
 static ScourResult g_scour;
 
+// With u_ids != NULL the unit-level pigeonhole prefilter runs fused in
+// the same pass (reusing each member's sorted word multiset): per clear
+// member j, per-unit hit counts over the unit-granular postings, keys
+// j*tot_units+u emitted (ascending) for units with hits > mm_inner[j].
 long scour_run(
     const uint8_t* qmat, long qstride, const int64_t* qlens,
     long b0, long b1, long qbunch, int k,
@@ -81,22 +85,32 @@ long scour_run(
     const int64_t* starts, const int64_t* cnts, const uint32_t* ids,
     long n_clumps,
     const int64_t* mm_bunch, const int64_t* mm_inner,
+    const uint32_t* u_rank, long u_span,
+    const int64_t* u_nzw, long u_n_nz,
+    const int64_t* u_starts, const int64_t* u_cnts,
+    const uint32_t* u_ids, long tot_units,
     long threads)
 {
     long n_bunches = (b1 + qbunch - 1) / qbunch;
     g_scour.bflat.clear(); g_scour.bhits.clear(); g_scour.mflat.clear();
     g_scour.bcnt.assign(n_bunches, 0);
     g_scour.mcnt.assign(b1, 0);
+    g_scour.ukeys.clear();
     Postings post{rank, span, nzw, n_nz, starts, cnts, ids};
+    Postings upost{u_rank, u_span, u_nzw, u_n_nz, u_starts, u_cnts,
+                   u_ids};
+    bool do_unit = u_ids != nullptr;
 
     int nt = threads > 0 ? (int)threads : omp_get_max_threads();
     std::vector<std::vector<int64_t>> t_bflat(nt), t_bhits(nt),
-        t_mflat(nt);
+        t_mflat(nt), t_ukeys(nt);
 
 #pragma omp parallel num_threads(nt)
     {
         int tid = omp_get_thread_num();
         std::vector<int32_t> hits(n_clumps, 0);
+        std::vector<int32_t> uh(do_unit ? tot_units : 0, 0);
+        std::vector<int64_t> utouched; utouched.reserve(256);
         std::vector<int64_t> touched; touched.reserve(1024);
         // (word, member-in-bunch<<0 | mult<<8) pairs; qbunch <= 255
         std::vector<std::pair<int64_t, int64_t>> wm; wm.reserve(512);
@@ -190,6 +204,42 @@ long scour_run(
                 g_scour.mcnt[j] = cnt;
             }
             for (int64_t cl : touched) hits[cl] = 0;
+            // fused unit-level prefilter over the same sorted multiset
+            if (do_unit) {
+                for (long j = std::max(j_lo, b0); j < j_hi; ++j) {
+                    int64_t mrel = j - j_lo;
+                    utouched.clear();
+                    size_t i2 = 0;
+                    while (i2 < wm.size()) {
+                        int64_t w = wm[i2].first;
+                        // this member's multiplicity for word w
+                        int64_t m = 0;
+                        size_t r = i2;
+                        while (r < wm.size() && wm[r].first == w) {
+                            if ((wm[r].second & 0xFF) == mrel)
+                                m += wm[r].second >> 8;
+                            ++r;
+                        }
+                        i2 = r;
+                        if (!m) continue;
+                        int64_t s, c;
+                        if (!upost.find(w, &s, &c)) continue;
+                        for (int64_t p = s; p < s + c; ++p) {
+                            int64_t u = u_ids[p];
+                            if (!uh[u]) utouched.push_back(u);
+                            uh[u] = (int32_t)std::min<int64_t>(
+                                (int64_t)uh[u] + m, 0x7FFFFFFF);
+                        }
+                    }
+                    std::sort(utouched.begin(), utouched.end());
+                    int64_t thr = mm_inner[j];
+                    for (int64_t u : utouched) {
+                        if (uh[u] > thr)
+                            t_ukeys[tid].push_back(j * tot_units + u);
+                        uh[u] = 0;
+                    }
+                }
+            }
         }
     }
     // static scheduling gives each thread a contiguous bunch block in
@@ -201,13 +251,21 @@ long scour_run(
                              t_bhits[t].end());
         g_scour.mflat.insert(g_scour.mflat.end(), t_mflat[t].begin(),
                              t_mflat[t].end());
+        g_scour.ukeys.insert(g_scour.ukeys.end(), t_ukeys[t].begin(),
+                             t_ukeys[t].end());
     }
-    return (long)g_scour.bflat.size() |
-           ((long)g_scour.mflat.size() << 32);
+    return 0;
+}
+
+void scour_sizes(int64_t* out3)
+{
+    out3[0] = (int64_t)g_scour.bflat.size();
+    out3[1] = (int64_t)g_scour.mflat.size();
+    out3[2] = (int64_t)g_scour.ukeys.size();
 }
 
 void scour_fetch(int64_t* bflat, int64_t* bhits, int64_t* bcnt,
-                 int64_t* mflat, int64_t* mcnt)
+                 int64_t* mflat, int64_t* mcnt, int64_t* ukeys)
 {
     std::memcpy(bflat, g_scour.bflat.data(),
                 g_scour.bflat.size() * sizeof(int64_t));
@@ -219,9 +277,13 @@ void scour_fetch(int64_t* bflat, int64_t* bhits, int64_t* bcnt,
                 g_scour.mflat.size() * sizeof(int64_t));
     std::memcpy(mcnt, g_scour.mcnt.data(),
                 g_scour.mcnt.size() * sizeof(int64_t));
+    if (ukeys)
+        std::memcpy(ukeys, g_scour.ukeys.data(),
+                    g_scour.ukeys.size() * sizeof(int64_t));
     std::vector<int64_t>().swap(g_scour.bflat);
     std::vector<int64_t>().swap(g_scour.bhits);
     std::vector<int64_t>().swap(g_scour.mflat);
+    std::vector<int64_t>().swap(g_scour.ukeys);
 }
 
 // ------------------------------------------------- unit-level prefilter
