@@ -403,14 +403,15 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
                 prows = row2local[juni[sel]]
                 _dispatch(sel, W, lb, peq_dev, tiles_dev, prows, trows,
                           x0_all[sel] if x0flag else None, Lw)
-    # one batched fetch for every chunk's outputs: separate np.asarray
-    # conversions each pay a device->host RPC round trip
+    # one batched fetch for every chunk's packed [4, N] output:
+    # separate conversions each pay a device->host RPC round trip
     if pending:
         import jax
-        host = jax.device_get([o for _, _, dev, _ in pending for o in dev])
+        host = jax.device_get([dev for _, _, dev, _ in pending])
         for ci, (part, qlens, dev, xc) in enumerate(pending):
-            e, gq, gr, fp = host[4 * ci: 4 * ci + 4]
-            e, gq, gr, fp, sc = rescore_finalize_host(e, gq, gr, fp, qlens)
+            h = host[ci]
+            e, gq, gr, fp, sc = rescore_finalize_host(
+                h[0], h[1], h[2], h[3], qlens)
             n = len(part)
             gap_q[part] = gq[:n]
             gap_r[part] = gr[:n]
@@ -496,20 +497,14 @@ class SparseED:
             self.pe = np.full(len(self.pj), 255, dtype=np.int64)
             self.plast = np.full(len(self.pj), -1, dtype=np.int64)
             self.pfirst = np.full(len(self.pj), -1, dtype=np.int64)
-            flat = []
-            for part, res in self.pending:
-                flat.extend(res if isinstance(res, tuple) else (res,))
-            host = jax.device_get(flat)
-            i = 0
-            for part, res in self.pending:
-                if isinstance(res, tuple):
-                    self.pe[part] = host[i][: len(part)]
-                    self.pfirst[part] = host[i + 1][: len(part)]
-                    self.plast[part] = host[i + 2][: len(part)]
-                    i += 3
+            host = jax.device_get([res for _, res in self.pending])
+            for (part, _), h in zip(self.pending, host):
+                if h.ndim == 2:       # packed [3, B] (ed, first, last)
+                    self.pe[part] = h[0][: len(part)]
+                    self.pfirst[part] = h[1][: len(part)]
+                    self.plast[part] = h[2][: len(part)]
                 else:
-                    self.pe[part] = host[i][: len(part)]
-                    i += 1
+                    self.pe[part] = h[: len(part)]
             np.minimum(self.pe, 255, out=self.pe)
             self.pending = None
         return self
@@ -931,9 +926,9 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
         return pending
     if pending:
         import jax
-        host = jax.device_get([res[0] for _, res in pending])
-        for (part, _), e in zip(pending, host):
-            out[part] = e[: len(part)]
+        host = jax.device_get([res for _, res in pending])
+        for (part, _), h in zip(pending, host):
+            out[part] = (h[0] if h.ndim == 2 else h)[: len(part)]
     return out
 
 

@@ -54,6 +54,11 @@ def build_peq(queries: np.ndarray, qlens: np.ndarray, W: int,
         smat = score_matrix()
     B = queries.shape[0]
     m_pad = W * WORD
+    if B and queries.shape[1] >= int(qlens.max()):
+        from ..native import build_peq16_native
+        out = build_peq16_native(queries, qlens, W, smat)
+        if out is not None:
+            return out
     q = np.zeros((B, m_pad), dtype=np.uint8)
     q[:, : queries.shape[1]] = queries[:, :m_pad]
     rows = np.arange(m_pad)[None, :]
@@ -260,11 +265,13 @@ def myers_min_ed_gather(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("W",))
 def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
                             pidx: jnp.ndarray, tidx: jnp.ndarray, W: int):
-    """Like myers_min_ed_gather but also returns the FIRST and LAST
-    (1-based, padded-coordinate) columns attaining the final minimum --
-    for zero-ED winners `last` equals the rescore kernel's final_pos +
-    the (32W - qlen) pad shift, letting phase B be skipped entirely,
-    and (first, last) bound the tie span for the windowed rescore."""
+    """Myers scan returning a packed [3, B] int32 array of (min ED,
+    FIRST best column, LAST best column), columns 1-based in padded
+    coordinates. One output buffer = one device->host fetch (RPC round
+    trips dominate on tunneled rigs). For zero-ED winners `last` equals
+    the rescore kernel's final_pos + the (32W - qlen) pad shift, letting
+    phase B be skipped entirely; (first, last) bound the tie span for
+    the windowed rescore."""
     peq = jnp.take(peq_all, pidx, axis=0)
     tiles = jnp.take(tiles_all, tidx, axis=0)
     B = peq.shape[0]
@@ -320,7 +327,7 @@ def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
         return (VP, VN, score, best, first, last, j), None
 
     (_, _, _, best, first, last, _), _ = jax.lax.scan(step, init, cols)
-    return best, first, last
+    return jnp.stack([best, first, last])
 
 
 def min_ed_numpy_reference(q: np.ndarray, r: np.ndarray, W: int | None = None,

@@ -177,7 +177,7 @@ def make_rescore_gather(smat_np: np.ndarray):
            levels: int | None = None, rows: int | None = None):
         peq = jnp.take(peq_all, pidx, axis=0)
         tiles = jnp.take(tiles_all, tidx, axis=0)
-        return core(peq, qlens, tiles, max_ed, W, levels, rows)
+        return jnp.stack(core(peq, qlens, tiles, max_ed, W, levels, rows))
 
     @functools.partial(jax.jit,
                        static_argnames=("W", "levels", "rows", "Lw"))
@@ -187,7 +187,7 @@ def make_rescore_gather(smat_np: np.ndarray):
         peq = jnp.take(peq_all, pidx, axis=0)
         tiles = jnp.take(tiles_all, tidx, axis=0)
         win = _window_tiles(tiles, x0, Lw)
-        return core(peq, qlens, win, max_ed, W, levels, rows)
+        return jnp.stack(core(peq, qlens, win, max_ed, W, levels, rows))
 
     return fn, fn_win
 
@@ -230,7 +230,8 @@ def _pallas_gather(peq_all, tiles_all, pidx, tidx, qmeta, W: int,
     pad = (L1 - 1) - tiles.shape[1]
     if pad:
         tiles = jnp.pad(tiles, ((0, 0), (0, pad)))
-    return rescore_pallas(peq, tiles, qmeta, W, levels, rows, L1)
+    return jnp.stack(rescore_pallas(peq, tiles, qmeta, W, levels, rows,
+                                    L1))
 
 
 @functools.partial(jax.jit, static_argnames=("W", "levels", "rows", "L1"))
@@ -240,7 +241,7 @@ def _pallas_gather_win(peq_all, tiles_all, pidx, tidx, qmeta, x0,
     peq = jnp.take(peq_all, pidx, axis=0).reshape(len(pidx), 16 * W)
     tiles = jnp.take(tiles_all, tidx, axis=0)
     win = _window_tiles(tiles, x0, L1)
-    return rescore_pallas(peq, win, qmeta, W, levels, rows, L1)
+    return jnp.stack(rescore_pallas(peq, win, qmeta, W, levels, rows, L1))
 
 
 def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
@@ -315,8 +316,13 @@ def rescore_finalize(out, qlens: np.ndarray):
     """Host conversion + float32 identity. Prefer fetching many chunks
     with one jax.device_get and calling rescore_finalize_host: on
     tunneled TPU rigs each separate device->host conversion pays a full
-    RPC round trip."""
-    ed, gq, gr, fp = (np.asarray(o) for o in out)
+    RPC round trip. `out` is a packed [4, N] array (gather paths) or a
+    4-tuple (direct core calls)."""
+    if isinstance(out, tuple):
+        ed, gq, gr, fp = (np.asarray(o) for o in out)
+    else:
+        out = np.asarray(out)
+        ed, gq, gr, fp = out[0], out[1], out[2], out[3]
     return rescore_finalize_host(ed, gq, gr, fp, qlens)
 
 

@@ -96,6 +96,9 @@ def load_host():
             _I64P, _I64P, _U32P,
             ctypes.c_long, _I64P, ctypes.c_long]
         lib.unit_prefilter_fetch.argtypes = [_I64P]
+        lib.build_peq16.argtypes = [
+            _U8P, ctypes.c_long, _I64P, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), _U32P]
         lib.b6_format.restype = ctypes.c_long
         lib.b6_format.argtypes = [
             ctypes.c_char_p, _I64P, _I64P,
@@ -188,6 +191,26 @@ def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
                     _ptr(mcnt, _I64P), _ptr(ukeys, _I64P))
     return (bflat[:nb], bhits[:nb], bcnt[:n_bunches], mflat[:nm],
             mcnt[:b1], ukeys[:nu] if u_csr is not None else None)
+
+
+def build_peq16_native(qmat, qlens, W: int, smat) -> np.ndarray | None:
+    """Native Myers Peq table build (16-code alphabet); None if no lib."""
+    lib = load_host()
+    if lib is None:
+        return None
+    qmat = np.ascontiguousarray(qmat, dtype=np.uint8)
+    qlens = np.ascontiguousarray(qlens, dtype=np.int64)
+    B = qmat.shape[0]
+    zmask = ((smat[:16, :16] == 0).astype(np.uint16) <<
+             np.arange(16, dtype=np.uint16)[None, :]).sum(
+                 axis=1).astype(np.uint16)
+    zmask = np.ascontiguousarray(zmask)
+    out = np.zeros((B, 16, W), dtype=np.uint32)
+    lib.build_peq16(
+        _ptr(qmat, _U8P), qmat.shape[1], _ptr(qlens, _I64P), B, W,
+        zmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        _ptr(out, _U32P))
+    return out
 
 
 def unit_prefilter_native(qmat, qlens, b0, b1, k, u_csr, tot_units,

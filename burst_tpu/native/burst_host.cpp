@@ -362,6 +362,43 @@ void unit_prefilter_fetch(int64_t* out)
     std::vector<int64_t>().swap(g_ukeys);
 }
 
+// ----------------------------------------------------------- Peq build
+// Myers bit tables (kernels/myers.build_peq semantics): bit y of word w
+// of plane c set iff query row y is a zero-cost match against reference
+// code c, or y >= qlen (wildcard pad rows match everything, incl. 0).
+// zmask[code] = 16-bit mask over c of zero-cost matches.
+void build_peq16(const uint8_t* qmat, long qstride, const int64_t* qlens,
+                 long B, int W, const uint16_t* zmask, uint32_t* out)
+{
+    long m_pad = (long)W * 32;
+#pragma omp parallel for schedule(static)
+    for (long b = 0; b < B; ++b) {
+        const uint8_t* q = qmat + b * qstride;
+        long len = qlens[b] < m_pad ? qlens[b] : m_pad;
+        uint32_t* dst = out + b * 16 * W;
+        for (int w = 0; w < W; ++w) {
+            uint32_t cur[16] = {0};
+            long y_lo = (long)w * 32;
+            long y_hi = y_lo + 32;
+            long y_real = len < y_hi ? (len > y_lo ? len : y_lo) : y_hi;
+            for (long y = y_lo; y < y_real; ++y) {
+                uint16_t m = zmask[q[y]];
+                uint32_t bit = 1u << (y - y_lo);
+                for (int c = 0; c < 16; ++c)
+                    if (m & (1u << c)) cur[c] |= bit;
+            }
+            // wildcard pad rows: all planes
+            if (y_real < y_hi) {
+                uint32_t padbits = ~0u;
+                if (y_real > y_lo)
+                    padbits <<= (y_real - y_lo);
+                for (int c = 0; c < 16; ++c) cur[c] |= padbits;
+            }
+            for (int c = 0; c < 16; ++c) dst[c * W + w] = cur[c];
+        }
+    }
+}
+
 // ------------------------------------------------------- b6 formatting
 // One blast6 row (PRINT_MATCH, burst.c:4553-4562): tab-separated
 // q, r, %f score*100, alnlen, mism, gap, 1, qlen, st, ed, totED, ix
