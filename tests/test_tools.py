@@ -163,3 +163,96 @@ def test_t2gg_identical(built):
     subprocess.run([_ours("t2gg"), nodes, names, m],
                    capture_output=True, check=True)
     assert golden.diff_files(r, m) is None
+
+
+GBFF = """\
+LOCUS       NC_000001            1000 bp    DNA     circular CON 01-JAN-2020
+DEFINITION  Examplus organismus strain X1 chromosome 1.
+ACCESSION   NC_000001
+VERSION     NC_000001.2
+KEYWORDS    RefSeq.
+SOURCE      Examplus organismus
+  ORGANISM  Examplus organismus strain X1
+            Bacteria; Proteobacteria; Gammaproteobacteria;
+            Enterobacterales; Enterobacteriaceae; Examplus.
+REFERENCE   1  (bases 1 to 1000)
+  AUTHORS   Nobody.
+//
+LOCUS       NC_000002            1000 bp    DNA     circular CON 01-JAN-2020
+DEFINITION  Candidatus Otherus thingus chromosome.
+ACCESSION   NC_000002
+VERSION     NC_000002.1
+SOURCE      Candidatus Otherus thingus
+  ORGANISM  Candidatus Otherus thingus
+            longnamecontinuation here
+            Bacteria; Firmicutes; Bacilli;
+            Lactobacillales.
+COMMENT     Something.
+//
+"""
+
+INSD_XML = """\
+<GBSet>
+<GBSeq>
+<GBSeq_primary-accession>AB000001</GBSeq_primary-accession>
+<GBSeq_organism>Examplus organismus strain Y</GBSeq_organism>
+<GBSeq_taxonomy>Bacteria; Proteobacteria; Gammaproteobacteria\
+</GBSeq_taxonomy>
+<GBSeq_sequence>acgtacgtacgtnnnacgt</GBSeq_sequence>
+</GBSeq>
+<GBSeq>
+<GBSeq_primary-accession>AB000002</GBSeq_primary-accession>
+<GBSeq_organism>Mysterius sp. ABC</GBSeq_organism>
+<GBSeq_taxonomy>Bacteria; Firmicutes</GBSeq_taxonomy>
+<GBSeq_sequence>ttttgggg</GBSeq_sequence>
+</GBSeq>
+<GBSeq>
+<GBSeq_primary-accession>AB000003</GBSeq_primary-accession>
+<GBSeq_organism>Candidatus Otherus thingus longer name</GBSeq_organism>
+<GBSeq_taxonomy>Bacteria</GBSeq_taxonomy>
+<GBSeq_sequence>ccgg</GBSeq_sequence>
+</GBSeq>
+</GBSet>
+"""
+
+
+def _oracle_from_src(src_name, d):
+    """Compile a reference embalmlets source as the test oracle."""
+    src = os.path.join("/root/reference/embalmlets", src_name)
+    dst = str(d / f"refsrc_{src_name}.bin")
+    if not os.path.exists(dst):
+        res = subprocess.run(["gcc", "-O1", "-w", "-o", dst, src],
+                             capture_output=True, text=True)
+        if res.returncode != 0:
+            pytest.skip(f"cannot compile oracle {src_name}")
+    return dst
+
+
+def test_get_taxonomy_bit_identical(built):
+    d = built
+    gdir = d / "gbff_in"
+    gdir.mkdir(exist_ok=True)
+    (gdir / "test.gbff").write_text(GBFF)
+    oracle = _oracle_from_src("get_taxonomy.c", d)
+    r, m = str(d / "r_gettax.txt"), str(d / "m_gettax.txt")
+    subprocess.run([oracle, str(gdir), r], capture_output=True)
+    subprocess.run([_ours("get_taxonomy"), str(gdir), m],
+                   capture_output=True, check=True)
+    assert golden.diff_files(r, m) is None
+
+
+def test_ripinsd_bit_identical(built):
+    d = built
+    xml = str(d / "insd.xml")
+    with open(xml, "w") as f:
+        f.write(INSD_XML)
+    oracle = _oracle_from_src("get_taxonomy_ripINSD.c", d)
+    for args in ([], ["2", "0", "0"], ["0", "1", "0"], ["0", "0", "1"]):
+        r_fa, r_tx = str(d / "r_i.fa"), str(d / "r_i.tsv")
+        m_fa, m_tx = str(d / "m_i.fa"), str(d / "m_i.tsv")
+        subprocess.run([oracle, xml, r_fa, r_tx] + args,
+                       capture_output=True)
+        subprocess.run([_ours("ripinsd"), xml, m_fa, m_tx] + args,
+                       capture_output=True, check=True)
+        assert golden.diff_files(r_fa, m_fa) is None, args
+        assert golden.diff_files(r_tx, m_tx) is None, args
