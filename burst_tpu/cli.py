@@ -220,7 +220,12 @@ def run(a) -> int:
         qbins = bin_queries_for_accel(qd, acc.k, a["z"], a["heur"])
         visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"],
                                          threads=a["threads"])
-        ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
+        if a["shards"] > 1:
+            from .parallel.mesh import compute_ed_matrix_accel_sharded
+            ed = compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
+                                                 a["shards"])
+        else:
+            ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
     elif a["shards"] > 1:
         from .parallel.mesh import compute_ed_matrix_sharded
         ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])
@@ -245,9 +250,15 @@ def run(a) -> int:
             pod_order = engine.accel_pod_order(qd, rd, visits, juni,
                                                refpos, eds)
             win_cols = ed.lookup_cols(juni, refpos, rd.tot_units)
-        pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
-                                      a["mode"], smat, pod_order,
-                                      win_cols=win_cols)
+        if a["shards"] > 1 and visits is not None:
+            from .parallel.mesh import rescore_winners_sharded
+            pods = rescore_winners_sharded(qd, rd, juni, refpos, eds,
+                                           a["mode"], smat, a["shards"],
+                                           pod_order)
+        else:
+            pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
+                                          a["mode"], smat, pod_order,
+                                          win_cols=win_cols)
         if a["mode"] in ("ALLPATHS", "FORAGE"):
             modes.report_allpaths_or_forage(
                 pods, qd, rd, writer, taxonomy,

@@ -842,6 +842,23 @@ def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits: Visits,
     else:
         ed_full = np.zeros((0, rd.tot_units), dtype=np.uint8)
     # expand visit clumps into 16-lane unit pairs, all-vectorized
+    pj, pp = expand_visit_pairs(qd, rd, visits)
+    if len(pj):
+        pending = _pairs_min_ed(qd, rd, pj, pp, smat, defer=True)
+        sed = SparseED(pj=pj, pp=pp, pe=None, full_rows=full_rows,
+                       ed_full=ed_full, pending=pending)
+        if not defer:
+            sed.materialize()
+        return sed
+    pe = np.zeros(0, dtype=np.int64)
+    return SparseED(pj=pj, pp=pp, pe=pe, full_rows=full_rows,
+                    ed_full=ed_full)
+
+
+def expand_visit_pairs(qd: QueryData, rd: RefData, visits: Visits):
+    """Expand visit clump lists into (unibin, unit) pair arrays, with
+    the sound lane-level pruning applied (see accel_candidates)."""
+    nj = len(qd.seqs)
     nvis = visits.offs[1:] - visits.offs[:-1]
     qrep = np.repeat(np.arange(nj, dtype=np.int64), nvis)
     lane = np.arange(VECSZ, dtype=np.int64)
@@ -859,16 +876,7 @@ def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits: Visits,
             else np.zeros(len(key), dtype=bool)
         keep = (~visits.filtered[pj]) | visits.bad_clump[pp // VECSZ] | hit
         pj, pp = pj[keep], pp[keep]
-    if len(pj):
-        pending = _pairs_min_ed(qd, rd, pj, pp, smat, defer=True)
-        sed = SparseED(pj=pj, pp=pp, pe=None, full_rows=full_rows,
-                       ed_full=ed_full, pending=pending)
-        if not defer:
-            sed.materialize()
-        return sed
-    pe = np.zeros(0, dtype=np.int64)
-    return SparseED(pj=pj, pp=pp, pe=pe, full_rows=full_rows,
-                    ed_full=ed_full)
+    return pj, pp
 
 
 def densify(sed: SparseED, nj: int, tot_units: int) -> np.ndarray:

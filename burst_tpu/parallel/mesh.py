@@ -50,6 +50,181 @@ def _sharded_scan(peq, tiles, W: int, mesh: Mesh):
     return fn(peq, tiles)
 
 
+def _sharded_tiles(rd, n_shards: int, pad: int):
+    """[S*slab, Lmax+pad] tile array in sorted-unit order, slab-padded
+    so shard s owns rows [s*slab, (s+1)*slab) (cached per (S, pad))."""
+    cache = getattr(rd, "_shardtiles", None)
+    if cache is None:
+        cache = rd._shardtiles = {}
+    got = cache.get((n_shards, pad))
+    if got is None:
+        lmax = int(max((len(rd.seqs[rd.ix_srt[p]])
+                        for p in range(rd.tot_units)), default=1))
+        slab = -(-rd.tot_units // n_shards)
+        mat = np.zeros((slab * n_shards, lmax + pad), dtype=np.uint8)
+        for p in range(rd.tot_units):
+            s = rd.seqs[rd.ix_srt[p]]
+            mat[p, : len(s)] = s
+        got = cache[(n_shards, pad)] = (jnp.asarray(mat), slab,
+                                        lmax + pad)
+    return got
+
+
+def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
+                                    n_shards: int):
+    """Phase A over accelerator candidate pairs with the database
+    sharded across the mesh (the production multi-chip layout,
+    SURVEY.md section 2.3): each device owns a contiguous slab of the
+    sorted unit array; candidate pairs route to the shard owning their
+    unit; queries (Peq tables) are replicated. Per-shard packed
+    (ed, first, last) results merge on the host, which reproduces the
+    reference's cross-thread pod consolidation (burst.c:4490-4519) --
+    the resulting SparseED is identical to the single-device one, so
+    every downstream mode stays bit-identical.
+    """
+    from .. import engine
+
+    mesh = make_mesh(n_shards)
+    full_rows = np.nonzero(visits.full)[0]
+    if len(full_rows):
+        sub = engine._subset_qd(qd, list(full_rows))
+        ed_full = compute_ed_matrix_sharded(sub, rd, smat, n_shards)
+    else:
+        ed_full = np.zeros((0, rd.tot_units), dtype=np.uint8)
+    pj, pp = engine.expand_visit_pairs(qd, rd, visits)
+    n = len(pj)
+    sed = engine.SparseED(
+        pj=pj, pp=pp, pe=np.full(n, 255, np.int64), full_rows=full_rows,
+        ed_full=ed_full, plast=np.full(n, -1, np.int64),
+        pfirst=np.full(n, -1, np.int64))
+    if not n:
+        return sed
+    qmat, qlens_all, qw_all = engine._query_matrix(qd)
+    qws = qw_all[pj]
+    order = np.arange(n)
+    for W in np.unique(qws):
+        sel = order[qws == W]
+        row2local, peq = engine._peq_cache(qd, int(W), smat)
+        tiles_dev, slab, lp = _sharded_tiles(rd, n_shards, 32)
+        shard = pp[sel] // slab
+        tloc = pp[sel] % slab
+        counts = np.bincount(shard, minlength=n_shards)
+        pmax = max(int(counts.max()), 1)
+        pidx_m = np.zeros((n_shards, pmax), np.int32)
+        tloc_m = np.zeros((n_shards, pmax), np.int32)
+        so = np.argsort(shard, kind="stable")
+        pos_in_shard = np.empty(len(sel), np.int64)
+        off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
+        pidx_m[shard, pos_in_shard] = row2local[pj[sel]].astype(np.int32)
+        tloc_m[shard, pos_in_shard] = tloc.astype(np.int32)
+
+        def per_shard(peq_l, tiles_l, pidx_l, tloc_l):
+            return myers.myers_min_ed_gather_pos(
+                peq_l, tiles_l, pidx_l[0], tloc_l[0], int(W))[None]
+
+        fn = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P("db", None), P("db", None), P("db", None)),
+            out_specs=P("db", None, None),
+            check_vma=False))
+        out = np.asarray(fn(jnp.asarray(peq), tiles_dev,
+                            jnp.asarray(pidx_m), jnp.asarray(tloc_m)))
+        sed.pe[sel] = np.minimum(out[shard, 0, pos_in_shard], 255)
+        sed.pfirst[sel] = out[shard, 1, pos_in_shard]
+        sed.plast[sel] = out[shard, 2, pos_in_shard]
+    return sed
+
+
+def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
+                            n_shards: int, pod_order=None):
+    """Phase B with winners routed to the shard owning their unit.
+
+    Per-shard full-width tie-aware rescore (kernels/rescore core) over
+    the same sharded tile slabs; merged host-side into Pods identical
+    to engine.rescore_winners.
+    """
+    from .. import engine
+    from ..kernels.rescore import _CACHE, make_rescore, \
+        rescore_finalize_host
+
+    mesh = make_mesh(n_shards)
+    n = len(juni)
+    gap_q = np.zeros(n, np.int64)
+    gap_r = np.zeros(n, np.int64)
+    fpos = np.zeros(n, np.int64)
+    score = np.zeros(n, np.float32)
+    out_ed = np.array(eds, dtype=np.int64)
+    budgets = qd.ed
+    if mode in ("FORAGE", "ANY"):
+        bound = budgets[qd.six[juni]]
+    else:
+        bound = out_ed
+    qmat, qlens_all, qw_all = engine._query_matrix(qd)
+    qws = qw_all[juni] if n else np.zeros(0, np.int64)
+    order = np.arange(n)
+    core = _CACHE.get(smat.tobytes())
+    if core is None:
+        core = _CACHE[smat.tobytes()] = make_rescore(smat)
+    for W in (np.unique(qws) if n else ()):
+        sel = order[qws == W]
+        row2local, peq = engine._peq_cache(qd, int(W), smat)
+        m_pad = int(W) * 32
+        tiles_dev, slab, lp = _sharded_tiles(rd, n_shards, m_pad)
+        shard = refpos[sel] // slab
+        tloc = refpos[sel] % slab
+        counts = np.bincount(shard, minlength=n_shards)
+        pmax = max(int(counts.max()), 1)
+        pidx_m = np.zeros((n_shards, pmax), np.int32)
+        tloc_m = np.zeros((n_shards, pmax), np.int32)
+        qlen_m = np.full((n_shards, pmax), 2, np.int32)
+        bnd_m = np.zeros((n_shards, pmax), np.int32)
+        so = np.argsort(shard, kind="stable")
+        off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos_in_shard = np.empty(len(sel), np.int64)
+        pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
+        pidx_m[shard, pos_in_shard] = row2local[juni[sel]].astype(np.int32)
+        tloc_m[shard, pos_in_shard] = tloc.astype(np.int32)
+        qlen_m[shard, pos_in_shard] = qlens_all[juni[sel]].astype(np.int32)
+        bnd_m[shard, pos_in_shard] = bound[sel].astype(np.int32)
+
+        def per_shard(peq_l, tiles_l, pidx_l, tloc_l, qlen_l, bnd_l):
+            pq = jnp.take(peq_l, pidx_l[0], axis=0)
+            tl = jnp.take(tiles_l, tloc_l[0], axis=0)
+            return jnp.stack(core(pq, qlen_l[0], tl, bnd_l[0],
+                                  int(W)))[None]
+
+        fn = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P("db", None), P("db", None), P("db", None),
+                      P("db", None), P("db", None)),
+            out_specs=P("db", None, None),
+            check_vma=False))
+        out = np.asarray(fn(jnp.asarray(peq), tiles_dev,
+                            jnp.asarray(pidx_m), jnp.asarray(tloc_m),
+                            jnp.asarray(qlen_m), jnp.asarray(bnd_m)))
+        e, gq, gr, fp, sc = rescore_finalize_host(
+            out[shard, 0, pos_in_shard], out[shard, 1, pos_in_shard],
+            out[shard, 2, pos_in_shard], out[shard, 3, pos_in_shard],
+            qlens_all[juni[sel]])
+        out_ed[sel] = e
+        gap_q[sel] = gq
+        gap_r[sel] = gr
+        fpos[sel] = fp
+        score[sel] = sc
+    # pod ordering identical to engine.rescore_winners
+    if pod_order is not None:
+        srt = pod_order
+    else:
+        clump = refpos // engine.VECSZ
+        lane = refpos % engine.VECSZ
+        srt = np.lexsort((-lane, -juni, -clump))
+    return engine.Pods(
+        six=qd.six[juni][srt], juni=juni[srt], refpos=refpos[srt],
+        ed=out_ed[srt], rc=qd.rc[juni][srt], gap_q=gap_q[srt],
+        gap_r=gap_r[srt], final_pos=fpos[srt], score=score[srt])
+
+
 def compute_ed_matrix_sharded(qd, rd, smat, n_shards: int,
                               tile_gran: int = 64) -> np.ndarray:
     """Sharded phase A producing the same [numUnibins, tot_units] matrix."""

@@ -36,3 +36,41 @@ def test_sharded_matches_single_device():
     for shards in (2, 8):
         sharded = compute_ed_matrix_sharded(qd, rd, sm, shards)
         assert np.array_equal(single, sharded), shards
+
+
+def test_sharded_accel_path_bit_identical(tmp_path):
+    """Full accel pipeline with --shards N must produce the same b6
+    bytes as the single-device path (db-sharded phase A + phase B)."""
+    import subprocess
+    import sys
+    rng = np.random.default_rng(77)
+    refs = golden.make_refs(rng, 30, lo=300, hi=900)
+    reads = golden.make_reads(rng, refs, 200, read_len=100, max_err=2)
+    rfa = str(tmp_path / "r.fa")
+    qfa = str(tmp_path / "q.fa")
+    golden.write_fasta(rfa, refs)
+    golden.write_fasta(qfa, reads)
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # PYTHONPATH must NOT include the axon sitecustomize dir: its TPU
+    # registration overrides JAX_PLATFORMS=cpu, and the virtual
+    # 8-device CPU mesh is what this test shards over
+    env = dict(os.environ, BURST_TPU_SCOUR_N="12",
+               JAX_PLATFORMS="cpu", PYTHONPATH=repo,
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+               + " --xla_force_host_platform_device_count=8")
+    edx, acx = str(tmp_path / "d.edx"), str(tmp_path / "d.acx")
+    subprocess.run([sys.executable, "-m", "burst_tpu.cli", "-r", rfa,
+                    "-o", edx, "-a", acx, "-d", "DNA", "320", "-s"],
+                   check=True, env=env, capture_output=True)
+    for mode in ("BEST", "ALLPATHS", "CAPITALIST"):
+        outs = []
+        for shards in ("1", "4"):
+            out = str(tmp_path / f"o_{mode}_{shards}.b6")
+            subprocess.run(
+                [sys.executable, "-m", "burst_tpu.cli", "-r", edx,
+                 "-a", acx, "-q", qfa, "-o", out, "-m", mode,
+                 "--shards", shards],
+                check=True, env=env, capture_output=True)
+            outs.append(out)
+        assert golden.diff_files(*outs) is None, mode
