@@ -47,44 +47,24 @@ def make_workload():
 
 
 def run_pipeline(qheads, reads, rd, acc, smat):
-    """Streamed serving loop: queries split in halves so each half's
-    host stages (scour, selection, reporting) overlap the other half's
-    device kernels (JAX dispatch is asynchronous; conversions sync)."""
+    """Serving loop: native scour -> deferred phase-A dispatch ->
+    select -> windowed phase-B rescore -> native b6 emission. Device
+    syncs are batched (one device_get per phase), so a straight pass
+    beats split-and-overlap variants on single-CPU hosts."""
     from burst_tpu import engine, modes
     from burst_tpu.process import bin_queries_for_accel, process_queries
 
     qd = process_queries(qheads, reads, THRES, do_rc=False)
     qbins = bin_queries_for_accel(qd, acc.k, 1)
-    halves = []
-    mid = (len(qd.seqs) // 2 + 15) & ~15
-    for lo, hi in ((0, mid), (mid, len(qd.seqs))):
-        if lo >= hi:
-            continue
-        sub = engine._subset_qd(qd, list(range(lo, hi)))
-        sub.num_uniq = qd.num_uniq
-        halves.append(sub)
-    # stage 1: candidates + async phase A per half (defer=True so the
-    # second half's host scour overlaps the first half's device scan)
-    staged = []
-    for sub in halves:
-        sb = np.clip(qbins - (0 if sub is halves[0] else mid), 0,
-                     len(sub.seqs))
-        visits = engine.accel_candidates(sub, rd, acc, sb, qbunch=1)
-        sed = engine.compute_ed_matrix_accel(sub, rd, visits, smat,
-                                             defer=True)
-        staged.append((sub, sed))
-    # stage 2: select + rescore (device) per half, then report
+    visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
+    sed = engine.compute_ed_matrix_accel(qd, rd, visits, smat,
+                                         defer=True)
+    juni, refpos, eds = engine.select_pods(qd, rd, sed, "BEST")
+    win_cols = sed.lookup_cols(juni, refpos, rd.tot_units)
+    pods = engine.rescore_winners(qd, rd, juni, refpos, eds, "BEST",
+                                  smat, win_cols=win_cols)
     buf = io.StringIO()
-    writer = modes.B6Writer(buf)
-    podsets = []
-    for sub, sed in staged:
-        juni, refpos, eds = engine.select_pods(sub, rd, sed, "BEST")
-        win_cols = sed.lookup_cols(juni, refpos, rd.tot_units)
-        podsets.append((sub, engine.rescore_winners(
-            sub, rd, juni, refpos, eds, "BEST", smat,
-            win_cols=win_cols)))
-    for sub, pods in podsets:
-        modes.report_best(pods, sub, rd, writer)
+    modes.report_best(pods, qd, rd, modes.B6Writer(buf))
     return buf.getvalue().count("\n")
 
 
@@ -108,7 +88,7 @@ def main():
     run_pipeline(qheads, reads, rd, acc, smat)
 
     t0 = time.perf_counter()
-    n_runs = 2
+    n_runs = 4
     for _ in range(n_runs):
         n_rows = run_pipeline(qheads, reads, rd, acc, smat)
     dt = (time.perf_counter() - t0) / n_runs
