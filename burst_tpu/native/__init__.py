@@ -69,10 +69,16 @@ def load_host():
     try:
         if not os.path.exists(so) or \
                 os.path.getmtime(so) < os.path.getmtime(src):
-            subprocess.run(
-                ["g++", "-O2", "-fopenmp", "-shared", "-fPIC",
-                 "-o", so, src],
-                check=True, capture_output=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-fopenmp",
+                     "-shared", "-fPIC", "-o", so, src],
+                    check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(
+                    ["g++", "-O2", "-fopenmp", "-shared", "-fPIC",
+                     "-o", so, src],
+                    check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.scour_run.restype = ctypes.c_long
         lib.scour_run.argtypes = [
@@ -80,10 +86,10 @@ def load_host():
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
             _I64P, _I64P, _I64P,
             _U32P, ctypes.c_long, _I64P, ctypes.c_long,
-            _I64P, _I64P, _U32P,
+            _I64P, _U32P,
             ctypes.c_long, _I64P, _I64P,
             _U32P, ctypes.c_long, _I64P, ctypes.c_long,
-            _I64P, _I64P, _U32P, ctypes.c_long,
+            _I64P, _U32P, ctypes.c_long,
             ctypes.c_long]
         lib.scour_sizes.argtypes = [_I64P]
         lib.scour_fetch.argtypes = [_I64P, _I64P, _I64P, _I64P, _I64P,
@@ -93,7 +99,7 @@ def load_host():
             _U8P, ctypes.c_long, _I64P,
             ctypes.c_long, ctypes.c_long, ctypes.c_int,
             _U32P, ctypes.c_long, _I64P, ctypes.c_long,
-            _I64P, _I64P, _U32P,
+            _I64P, _U32P,
             ctypes.c_long, _I64P, ctypes.c_long]
         lib.unit_prefilter_fetch.argtypes = [_I64P]
         lib.build_peq16.argtypes = [
@@ -118,28 +124,40 @@ def _ptr(a: np.ndarray, ty):
 
 
 def _csr_args(csr):
-    """(rank, span, nzw, n_nz, starts, cnts, ids) ctypes views of a
-    SparseCSR, using the dense rank table when it is materializable."""
+    """(tab, span, nzw, n_nz, pairs, ids) ctypes views of a SparseCSR.
+
+    Dense path: tab[w] = 0 absent, 0x80000000|id for single-posting
+    words (the id rides inline, one cache miss resolves the word --
+    the common case), else rank+1 into the interleaved (start, count)
+    pair array. Derived arrays are cached on the csr object."""
     if len(csr.nzw) == 0:
         z64 = np.zeros(1, np.int64)
         zu = np.zeros(1, np.uint32)
         return (None, 0, _ptr(z64, _I64P), 0, _ptr(z64, _I64P),
-                _ptr(z64, _I64P), _ptr(zu, _U32P), [z64, zu])
-    span = int(csr.nzw[-1]) + 1
-    keep = []
-    if span <= (1 << 26):
-        rank = csr._dense_rank(span)
-        rank_p = _ptr(rank, _U32P)
-    else:
-        rank_p, span = None, 0
-    nzw = np.ascontiguousarray(csr.nzw, dtype=np.int64)
-    starts = np.ascontiguousarray(csr.start, dtype=np.int64)
-    cnts = np.ascontiguousarray(csr.cnt, dtype=np.int64)
-    ids = np.ascontiguousarray(csr.ids, dtype=np.uint32)
-    keep += [nzw, starts, cnts, ids]
-    return (rank_p, span, _ptr(nzw, _I64P), len(nzw),
-            _ptr(starts, _I64P), _ptr(cnts, _I64P), _ptr(ids, _U32P),
-            keep)
+                _ptr(zu, _U32P), [z64, zu])
+    cached = getattr(csr, "_scour_tab", None)
+    if cached is None:
+        span = int(csr.nzw[-1]) + 1
+        nzw = np.ascontiguousarray(csr.nzw, dtype=np.int64)
+        starts = np.ascontiguousarray(csr.start, dtype=np.int64)
+        cnts = np.ascontiguousarray(csr.cnt, dtype=np.int64)
+        ids = np.ascontiguousarray(csr.ids, dtype=np.uint32)
+        pairs = np.empty(2 * len(nzw), dtype=np.int64)
+        pairs[0::2] = starts
+        pairs[1::2] = cnts
+        if span <= (1 << 26):
+            tab = np.zeros(span, dtype=np.uint32)
+            single = (cnts == 1) & (ids[starts] < (1 << 31))
+            tab[nzw] = np.arange(1, len(nzw) + 1, dtype=np.uint32)
+            tab[nzw[single]] = (np.uint32(0x80000000) |
+                                ids[starts[single]].astype(np.uint32))
+        else:
+            tab, span = None, 0
+        cached = csr._scour_tab = (tab, span, nzw, pairs, ids)
+    tab, span, nzw, pairs, ids = cached
+    tab_p = _ptr(tab, _U32P) if tab is not None else None
+    return (tab_p, span, _ptr(nzw, _I64P), len(nzw),
+            _ptr(pairs, _I64P), _ptr(ids, _U32P), cached)
 
 
 def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
@@ -161,20 +179,20 @@ def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
         aq_mult if len(aq_mult) else np.zeros(1), dtype=np.int64)
     mm_bunch = np.ascontiguousarray(mm_bunch, dtype=np.int64)
     mm_inner = np.ascontiguousarray(mm_inner, dtype=np.int64)
-    rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p, keep = _csr_args(csr)
+    tab_p, span, nzw_p, n_nz, pr_p, id_p, keep = _csr_args(csr)
     if u_csr is not None:
-        (u_rank_p, u_span, u_nzw_p, u_n_nz, u_st_p, u_cn_p, u_id_p,
+        (u_tab_p, u_span, u_nzw_p, u_n_nz, u_pr_p, u_id_p,
          ukeep) = _csr_args(u_csr)
     else:
-        u_rank_p = u_nzw_p = u_st_p = u_cn_p = u_id_p = None
+        u_tab_p = u_nzw_p = u_pr_p = u_id_p = None
         u_span = u_n_nz = 0
     lib.scour_run(
         _ptr(qmat, _U8P), qmat.shape[1] if qmat.ndim == 2 else 0,
         _ptr(qlens, _I64P), b0, b1, qbunch, k,
         _ptr(aq_off, _I64P), _ptr(aq_words, _I64P), _ptr(aq_mult, _I64P),
-        rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p,
+        tab_p, span, nzw_p, n_nz, pr_p, id_p,
         n_clumps, _ptr(mm_bunch, _I64P), _ptr(mm_inner, _I64P),
-        u_rank_p, u_span, u_nzw_p, u_n_nz, u_st_p, u_cn_p, u_id_p,
+        u_tab_p, u_span, u_nzw_p, u_n_nz, u_pr_p, u_id_p,
         tot_units, threads)
     sizes = np.zeros(3, np.int64)
     lib.scour_sizes(_ptr(sizes, _I64P))
@@ -222,11 +240,11 @@ def unit_prefilter_native(qmat, qlens, b0, b1, k, u_csr, tot_units,
     qmat = np.ascontiguousarray(qmat, dtype=np.uint8)
     qlens = np.ascontiguousarray(qlens, dtype=np.int64)
     mm_inner = np.ascontiguousarray(mm_inner, dtype=np.int64)
-    rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p, keep = _csr_args(u_csr)
+    tab_p, span, nzw_p, n_nz, pr_p, id_p, keep = _csr_args(u_csr)
     n = lib.unit_prefilter_run(
         _ptr(qmat, _U8P), qmat.shape[1] if qmat.ndim == 2 else 0,
         _ptr(qlens, _I64P), b0, b1, k,
-        rank_p, span, nzw_p, n_nz, st_p, cn_p, id_p,
+        tab_p, span, nzw_p, n_nz, pr_p, id_p,
         tot_units, _ptr(mm_inner, _I64P), threads)
     out = np.empty(max(n, 1), np.int64)
     lib.unit_prefilter_fetch(_ptr(out, _I64P))

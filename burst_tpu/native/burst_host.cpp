@@ -23,27 +23,38 @@ static int omp_get_thread_num() { return 0; }
 
 namespace {
 
-// postings lookup: dense rank table (rank[w] = index+1, 0 = absent)
-// when present, else binary search over the sorted nonzero words
+// postings lookup. Dense path: tab[w] = 0 absent, top-bit-set =
+// single posting with the id inline (one cache miss resolves the
+// whole word -- most k-mers have one posting), else rank+1 into the
+// interleaved (start, count) pair array. Sparse path (k=15 spans):
+// binary search over the sorted nonzero words.
 struct Postings {
-    const uint32_t* rank; long span;
+    const uint32_t* tab; long span;
     const int64_t* nzw; long n_nz;
-    const int64_t* starts; const int64_t* cnts;
+    const int64_t* pairs;          // [2*n_nz] interleaved start,count
     const uint32_t* ids;
 
-    bool find(int64_t w, int64_t* s, int64_t* c) const {
-        if (rank) {
-            if (w >= span) return false;
-            uint32_t r = rank[w];
-            if (!r) return false;
-            *s = starts[r - 1]; *c = cnts[r - 1];
-            return true;
+    // returns count; count==1 with *s == -1 means *id holds the
+    // posting inline
+    int64_t find(int64_t w, int64_t* s, int64_t* id) const {
+        if (tab) {
+            if (w >= span) return 0;
+            uint32_t v = tab[w];
+            if (!v) return 0;
+            if (v & 0x80000000u) {
+                *s = -1;
+                *id = (int64_t)(v & 0x7FFFFFFFu);
+                return 1;
+            }
+            long r = (long)v - 1;
+            *s = pairs[2 * r];
+            return pairs[2 * r + 1];
         }
         const int64_t* lo = std::lower_bound(nzw, nzw + n_nz, w);
-        if (lo == nzw + n_nz || *lo != w) return false;
+        if (lo == nzw + n_nz || *lo != w) return 0;
         long ix = (long)(lo - nzw);
-        *s = starts[ix]; *c = cnts[ix];
-        return true;
+        *s = pairs[2 * ix];
+        return pairs[2 * ix + 1];
     }
 };
 
@@ -80,15 +91,14 @@ long scour_run(
     long b0, long b1, long qbunch, int k,
     const int64_t* aq_off, const int64_t* aq_words,
     const int64_t* aq_mult,
-    const uint32_t* rank, long span,
+    const uint32_t* tab, long span,
     const int64_t* nzw, long n_nz,
-    const int64_t* starts, const int64_t* cnts, const uint32_t* ids,
+    const int64_t* pairs, const uint32_t* ids,
     long n_clumps,
     const int64_t* mm_bunch, const int64_t* mm_inner,
-    const uint32_t* u_rank, long u_span,
+    const uint32_t* u_tab, long u_span,
     const int64_t* u_nzw, long u_n_nz,
-    const int64_t* u_starts, const int64_t* u_cnts,
-    const uint32_t* u_ids, long tot_units,
+    const int64_t* u_pairs, const uint32_t* u_ids, long tot_units,
     long threads)
 {
     long n_bunches = (b1 + qbunch - 1) / qbunch;
@@ -96,9 +106,8 @@ long scour_run(
     g_scour.bcnt.assign(n_bunches, 0);
     g_scour.mcnt.assign(b1, 0);
     g_scour.ukeys.clear();
-    Postings post{rank, span, nzw, n_nz, starts, cnts, ids};
-    Postings upost{u_rank, u_span, u_nzw, u_n_nz, u_starts, u_cnts,
-                   u_ids};
+    Postings post{tab, span, nzw, n_nz, pairs, ids};
+    Postings upost{u_tab, u_span, u_nzw, u_n_nz, u_pairs, u_ids};
     bool do_unit = u_ids != nullptr;
 
     int nt = threads > 0 ? (int)threads : omp_get_max_threads();
@@ -112,22 +121,30 @@ long scour_run(
         std::vector<int32_t> uh(do_unit ? tot_units : 0, 0);
         std::vector<int64_t> utouched; utouched.reserve(256);
         std::vector<int64_t> touched; touched.reserve(1024);
-        // (word, member-in-bunch<<0 | mult<<8) pairs; qbunch <= 255
-        std::vector<std::pair<int64_t, int64_t>> wm; wm.reserve(512);
+        // packed (word<<8 | member-in-bunch); qbunch <= 255; each
+        // occurrence contributes multiplicity 1 (clear members), so
+        // per-(word,member) counts are run lengths after sorting
+        std::vector<int64_t> wm; wm.reserve(512);
         std::vector<Cand> cand; cand.reserve(256);
+        // run-collapsed per-word data (staged for memory parallelism)
+        std::vector<int64_t> uw, uwt, umemb, umcnt;
+        std::vector<int64_t> ps, pc, pid, ups, upc, upid;
 
 #pragma omp for schedule(static)
         for (long g = 0; g < n_bunches; ++g) {
             long j_lo = g * qbunch;
             long j_hi = std::min(b1, j_lo + qbunch);
+            bool any_ambig = j_lo < b0;
             wm.clear();
             for (long j = j_lo; j < j_hi; ++j) {
                 int64_t mrel = j - j_lo;
                 if (j < b0) {
-                    // ambiguous member: precomputed unique words+mults
+                    // ambiguous member: precomputed unique words+mults;
+                    // replicate small multiplicities so run lengths
+                    // stay the counts (mults from expansion are tiny)
                     for (int64_t a = aq_off[j]; a < aq_off[j + 1]; ++a)
-                        wm.emplace_back(aq_words[a],
-                                        (aq_mult[a] << 8) | mrel);
+                        for (int64_t rep = 0; rep < aq_mult[a]; ++rep)
+                            wm.push_back((aq_words[a] << 8) | mrel);
                 } else {
                     const uint8_t* q = qmat + j * qstride;
                     long len = qlens[j];
@@ -138,40 +155,78 @@ long scour_run(
                         w = (w << 2) | (int64_t)(q[t] - 1);
                     for (long t = k - 1; t < len; ++t) {
                         w = ((w << 2) | (int64_t)(q[t] - 1)) & mask;
-                        wm.emplace_back(w, ((int64_t)1 << 8) | mrel);
+                        wm.push_back((w << 8) | mrel);
                     }
                 }
             }
+            (void)any_ambig;
             if (wm.empty()) continue;
-            std::sort(wm.begin(), wm.end(),
-                      [](const std::pair<int64_t, int64_t>& a,
-                         const std::pair<int64_t, int64_t>& b) {
-                          if (a.first != b.first) return a.first < b.first;
-                          return (a.second & 0xFF) < (b.second & 0xFF);
-                      });
-            touched.clear();
-            size_t i = 0;
-            while (i < wm.size()) {
-                int64_t w = wm[i].first;
-                int64_t best_m = 0;
-                size_t r = i;
-                while (r < wm.size() && wm[r].first == w) {
-                    int64_t memb = wm[r].second & 0xFF;
-                    int64_t acc = 0;
-                    while (r < wm.size() && wm[r].first == w &&
-                           (wm[r].second & 0xFF) == memb) {
-                        acc += wm[r].second >> 8;
-                        ++r;
+            std::sort(wm.begin(), wm.end());
+            // run-collapse into unique words with per-member counts
+            uw.clear(); uwt.clear(); umemb.clear(); umcnt.clear();
+            {
+                size_t i = 0;
+                while (i < wm.size()) {
+                    int64_t w = wm[i] >> 8;
+                    int64_t best_m = 0;
+                    size_t nm0 = umemb.size();
+                    while (i < wm.size() && (wm[i] >> 8) == w) {
+                        int64_t mr = wm[i] & 0xFF;
+                        int64_t cnt = 0;
+                        while (i < wm.size() && (wm[i] >> 8) == w &&
+                               (wm[i] & 0xFF) == mr) { ++cnt; ++i; }
+                        umemb.push_back((mr << 32) | cnt);
+                        if (cnt > best_m) best_m = cnt;
                     }
-                    if (acc > best_m) best_m = acc;
+                    uw.push_back(w);
+                    uwt.push_back(best_m);
+                    umcnt.push_back((int64_t)(umemb.size() - nm0));
                 }
-                i = r;
-                int64_t s, c;
-                if (!post.find(w, &s, &c)) continue;
+            }
+            size_t nw = uw.size();
+            // stage: batched postings lookups (independent accesses
+            // overlap their cache misses; the dependent walk-as-you-
+            // look-up form stalls on every table probe). ps == -1
+            // flags an inline single posting held in pid.
+            ps.assign(nw, 0); pc.assign(nw, 0); pid.assign(nw, 0);
+            if (post.tab)
+                for (size_t i = 0; i < nw; ++i)
+                    __builtin_prefetch(&post.tab[uw[i]]);
+            for (size_t i = 0; i < nw; ++i) {
+                int64_t s = 0, idv = 0;
+                int64_t c = post.find(uw[i], &s, &idv);
+                ps[i] = s; pc[i] = c; pid[i] = idv;
+                if (c && s >= 0) __builtin_prefetch(&ids[s]);
+            }
+            if (do_unit) {
+                ups.assign(nw, 0); upc.assign(nw, 0); upid.assign(nw, 0);
+                if (upost.tab)
+                    for (size_t i = 0; i < nw; ++i)
+                        __builtin_prefetch(&upost.tab[uw[i]]);
+                for (size_t i = 0; i < nw; ++i) {
+                    int64_t s = 0, idv = 0;
+                    int64_t c = upost.find(uw[i], &s, &idv);
+                    ups[i] = s; upc[i] = c; upid[i] = idv;
+                    if (c && s >= 0) __builtin_prefetch(&u_ids[s]);
+                }
+            }
+            // clump hit accumulation in word order
+            touched.clear();
+            for (size_t i = 0; i < nw; ++i) {
+                int64_t c = pc[i], m = uwt[i];
+                if (!c) continue;
+                if (ps[i] < 0) {
+                    int64_t cl = pid[i];
+                    if (!hits[cl]) touched.push_back(cl);
+                    int64_t h = (int64_t)hits[cl] + m;
+                    hits[cl] = (int32_t)std::min<int64_t>(h, 0xFFFF);
+                    continue;
+                }
+                int64_t s = ps[i];
                 for (int64_t p = s; p < s + c; ++p) {
                     int64_t cl = ids[p];
                     if (!hits[cl]) touched.push_back(cl);
-                    int64_t h = (int64_t)hits[cl] + best_m;
+                    int64_t h = (int64_t)hits[cl] + m;
                     hits[cl] = (int32_t)std::min<int64_t>(h, 0xFFFF);
                 }
             }
@@ -204,26 +259,28 @@ long scour_run(
                 g_scour.mcnt[j] = cnt;
             }
             for (int64_t cl : touched) hits[cl] = 0;
-            // fused unit-level prefilter over the same sorted multiset
+            // fused unit-level prefilter (clear members only) over the
+            // same run-collapsed words
             if (do_unit) {
                 for (long j = std::max(j_lo, b0); j < j_hi; ++j) {
                     int64_t mrel = j - j_lo;
                     utouched.clear();
-                    size_t i2 = 0;
-                    while (i2 < wm.size()) {
-                        int64_t w = wm[i2].first;
-                        // this member's multiplicity for word w
+                    size_t mix = 0;
+                    for (size_t i = 0; i < nw; ++i) {
                         int64_t m = 0;
-                        size_t r = i2;
-                        while (r < wm.size() && wm[r].first == w) {
-                            if ((wm[r].second & 0xFF) == mrel)
-                                m += wm[r].second >> 8;
-                            ++r;
+                        for (int64_t t = 0; t < umcnt[i]; ++t, ++mix)
+                            if ((umemb[mix] >> 32) == mrel)
+                                m = umemb[mix] & 0xFFFFFFFF;
+                        int64_t c = upc[i];
+                        if (!m || !c) continue;
+                        if (ups[i] < 0) {
+                            int64_t u = upid[i];
+                            if (!uh[u]) utouched.push_back(u);
+                            uh[u] = (int32_t)std::min<int64_t>(
+                                (int64_t)uh[u] + m, 0x7FFFFFFF);
+                            continue;
                         }
-                        i2 = r;
-                        if (!m) continue;
-                        int64_t s, c;
-                        if (!upost.find(w, &s, &c)) continue;
+                        int64_t s = ups[i];
                         for (int64_t p = s; p < s + c; ++p) {
                             int64_t u = u_ids[p];
                             if (!uh[u]) utouched.push_back(u);
@@ -232,9 +289,9 @@ long scour_run(
                         }
                     }
                     std::sort(utouched.begin(), utouched.end());
-                    int64_t thr = mm_inner[j];
+                    int64_t thr2 = mm_inner[j];
                     for (int64_t u : utouched) {
-                        if (uh[u] > thr)
+                        if (uh[u] > thr2)
                             t_ukeys[tid].push_back(j * tot_units + u);
                         uh[u] = 0;
                     }
@@ -295,13 +352,13 @@ static std::vector<int64_t> g_ukeys;
 long unit_prefilter_run(
     const uint8_t* qmat, long qstride, const int64_t* qlens,
     long b0, long b1, int k,
-    const uint32_t* rank, long span,
+    const uint32_t* tab, long span,
     const int64_t* nzw, long n_nz,
-    const int64_t* starts, const int64_t* cnts, const uint32_t* ids,
+    const int64_t* pairs, const uint32_t* ids,
     long tot_units, const int64_t* mm_inner, long threads)
 {
     g_ukeys.clear();
-    Postings post{rank, span, nzw, n_nz, starts, cnts, ids};
+    Postings post{tab, span, nzw, n_nz, pairs, ids};
     int nt = threads > 0 ? (int)threads : omp_get_max_threads();
     std::vector<std::vector<int64_t>> t_keys(nt);
 
@@ -333,8 +390,15 @@ long unit_prefilter_run(
                 int64_t wv = words[i];
                 int64_t m = 0;
                 while (i < words.size() && words[i] == wv) { ++m; ++i; }
-                int64_t s, c;
-                if (!post.find(wv, &s, &c)) continue;
+                int64_t s = 0, idv = 0;
+                int64_t c = post.find(wv, &s, &idv);
+                if (!c) continue;
+                if (s < 0) {
+                    if (!uh[idv]) touched.push_back(idv);
+                    uh[idv] = (int32_t)std::min<int64_t>(
+                        (int64_t)uh[idv] + m, 0x7FFFFFFF);
+                    continue;
+                }
                 for (int64_t p = s; p < s + c; ++p) {
                     int64_t u = ids[p];
                     if (!uh[u]) touched.push_back(u);
