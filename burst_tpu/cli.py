@@ -166,12 +166,44 @@ def parse_args(argv):
     return a
 
 
+class _Phases:
+    """Wall-clock phase tracing (the reference prints omp_get_wtime
+    deltas per phase, e.g. burst.c:3003, 5162; --noprogress mutes).
+    Set BURST_TPU_PROFILE=<dir> to also capture a jax.profiler trace
+    of the whole run."""
+
+    def __init__(self, quiet: bool):
+        import time
+        self.quiet = quiet
+        self.t = time.perf_counter
+        self.t0 = self.last = self.t()
+        self.prof_dir = os.environ.get("BURST_TPU_PROFILE")
+        if self.prof_dir:
+            import jax
+            jax.profiler.start_trace(self.prof_dir)
+
+    def mark(self, name: str):
+        now = self.t()
+        if not self.quiet:
+            print(f"{name}: {now - self.last:.3f}s")
+        self.last = now
+
+    def done(self):
+        if self.prof_dir:
+            import jax
+            jax.profiler.stop_trace()
+        if not self.quiet:
+            print(f"Total time: {self.t() - self.t0:.3f}s")
+
+
 def run(a) -> int:
     import burst_tpu.db.edx as edx
 
+    ph = _Phases(a["quiet"])
     if a["makedb"]:
         from .db.build import make_db
         make_db(a)
+        ph.done()
         return 0
 
     smat = score_matrix(a["z"])
@@ -182,6 +214,7 @@ def run(a) -> int:
                          a["rc"] and not a["prepass"],
                          incl_whitespace=a["whitespace"],
                          xalpha=a["xalpha"])
+    ph.mark("Parsed/processed queries")
     if edx.is_edx(a["ref"]):
         rd, dshear = edx.read_edx(a["ref"], xalpha=a["xalpha"])
         if dshear and int(np.float32(qd.max_len) / np.float32(a["thres"])) \
@@ -196,6 +229,7 @@ def run(a) -> int:
             rebase=a["rebase"], rebase_amt=a["rebase_amt"],
             curate=1 if a["dedupe"] else 0, xalpha=a["xalpha"],
             do_fp=a["fp"], z=a["z"], latency=a["latency"])
+    ph.mark("Reference database ready")
 
     taxonomy = None
     if a["tax"]:
@@ -220,6 +254,7 @@ def run(a) -> int:
         qbins = bin_queries_for_accel(qd, acc.k, a["z"], a["heur"])
         visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"],
                                          threads=a["threads"])
+        ph.mark("Accelerator scour")
         if a["shards"] > 1:
             from .parallel.mesh import compute_ed_matrix_accel_sharded
             ed = compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
@@ -231,6 +266,7 @@ def run(a) -> int:
         ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])
     else:
         ed = engine.compute_ed_matrix(qd, rd, smat)
+    ph.mark("Alignment phase A")
 
     with open(a["out"], "w") as fh:
         writer = modes.B6Writer(fh)
@@ -242,6 +278,8 @@ def run(a) -> int:
                                        qbunch=qb)
             else:
                 modes.report_any(ed, qd, rd, writer, smat)
+            ph.mark("Reporting")
+            ph.done()
             return 0
         juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
         pod_order = None
@@ -270,6 +308,8 @@ def run(a) -> int:
             modes.report_capitalist(pods, qd, rd, writer, taxonomy,
                                     a["taxacut"], a["taxasuppress"],
                                     a["strict"])
+    ph.mark("Rescore + reporting")
+    ph.done()
     return 0
 
 
