@@ -80,17 +80,20 @@ def load_host():
                      "-o", so, src],
                     check=True, capture_output=True)
         lib = ctypes.CDLL(so)
+        lib.hash_build.argtypes = [
+            _I64P, _I64P, _U32P, ctypes.c_long,
+            _I64P, _U32P, ctypes.c_long]
         lib.scour_run.restype = ctypes.c_long
         lib.scour_run.argtypes = [
             _U8P, ctypes.c_long, _I64P,
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
             _I64P, _I64P, _I64P,
             _U32P, ctypes.c_long, _I64P, ctypes.c_long,
-            _I64P, _U32P,
+            _I64P, _U32P, _I64P, _U32P, ctypes.c_long,
             ctypes.c_long, _I64P, _I64P,
             _U32P, ctypes.c_long, _I64P, ctypes.c_long,
-            _I64P, _U32P, ctypes.c_long,
-            ctypes.c_long]
+            _I64P, _U32P, _I64P, _U32P, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long]
         lib.scour_sizes.argtypes = [_I64P]
         lib.scour_fetch.argtypes = [_I64P, _I64P, _I64P, _I64P, _I64P,
                                     _I64P]
@@ -99,7 +102,7 @@ def load_host():
             _U8P, ctypes.c_long, _I64P,
             ctypes.c_long, ctypes.c_long, ctypes.c_int,
             _U32P, ctypes.c_long, _I64P, ctypes.c_long,
-            _I64P, _U32P,
+            _I64P, _U32P, _I64P, _U32P, ctypes.c_long,
             ctypes.c_long, _I64P, ctypes.c_long]
         lib.unit_prefilter_fetch.argtypes = [_I64P]
         lib.build_peq16.argtypes = [
@@ -124,17 +127,20 @@ def _ptr(a: np.ndarray, ty):
 
 
 def _csr_args(csr):
-    """(tab, span, nzw, n_nz, pairs, ids) ctypes views of a SparseCSR.
+    """(tab, span, nzw, n_nz, pairs, ids, hkey, hval, hcap) ctypes
+    views of a SparseCSR.
 
     Dense path: tab[w] = 0 absent, 0x80000000|id for single-posting
     words (the id rides inline, one cache miss resolves the word --
     the common case), else rank+1 into the interleaved (start, count)
-    pair array. Derived arrays are cached on the csr object."""
+    pair array. Spans past the dense limit (k=15) get an
+    open-addressing hash with the same value encoding instead of
+    binary search. Derived arrays are cached on the csr object."""
     if len(csr.nzw) == 0:
         z64 = np.zeros(1, np.int64)
         zu = np.zeros(1, np.uint32)
         return (None, 0, _ptr(z64, _I64P), 0, _ptr(z64, _I64P),
-                _ptr(zu, _U32P), [z64, zu])
+                _ptr(zu, _U32P), None, None, 0, [z64, zu])
     cached = getattr(csr, "_scour_tab", None)
     if cached is None:
         span = int(csr.nzw[-1]) + 1
@@ -145,6 +151,7 @@ def _csr_args(csr):
         pairs = np.empty(2 * len(nzw), dtype=np.int64)
         pairs[0::2] = starts
         pairs[1::2] = cnts
+        hkey = hval = None
         if span <= (1 << 26):
             tab = np.zeros(span, dtype=np.uint32)
             single = (cnts == 1) & (ids[starts] < (1 << 31))
@@ -153,11 +160,27 @@ def _csr_args(csr):
                                 ids[starts[single]].astype(np.uint32))
         else:
             tab, span = None, 0
-        cached = csr._scour_tab = (tab, span, nzw, pairs, ids)
-    tab, span, nzw, pairs, ids = cached
+            lib = load_host()
+            if lib is not None:
+                cap = 1
+                while cap < 2 * len(nzw):
+                    cap <<= 1
+                hkey = np.empty(cap, dtype=np.int64)
+                hval = np.empty(cap, dtype=np.uint32)
+                lib.hash_build(_ptr(nzw, _I64P), _ptr(pairs, _I64P),
+                               _ptr(ids, _U32P), len(nzw),
+                               _ptr(hkey, _I64P), _ptr(hval, _U32P),
+                               cap)
+        cached = csr._scour_tab = (tab, span, nzw, pairs, ids, hkey,
+                                   hval)
+    tab, span, nzw, pairs, ids, hkey, hval = cached
     tab_p = _ptr(tab, _U32P) if tab is not None else None
+    hkey_p = _ptr(hkey, _I64P) if hkey is not None else None
+    hval_p = _ptr(hval, _U32P) if hval is not None else None
+    hcap = len(hkey) if hkey is not None else 0
     return (tab_p, span, _ptr(nzw, _I64P), len(nzw),
-            _ptr(pairs, _I64P), _ptr(ids, _U32P), cached)
+            _ptr(pairs, _I64P), _ptr(ids, _U32P), hkey_p, hval_p,
+            hcap, cached)
 
 
 def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
@@ -179,21 +202,22 @@ def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
         aq_mult if len(aq_mult) else np.zeros(1), dtype=np.int64)
     mm_bunch = np.ascontiguousarray(mm_bunch, dtype=np.int64)
     mm_inner = np.ascontiguousarray(mm_inner, dtype=np.int64)
-    tab_p, span, nzw_p, n_nz, pr_p, id_p, keep = _csr_args(csr)
+    (tab_p, span, nzw_p, n_nz, pr_p, id_p, hk_p, hv_p, hcap,
+     keep) = _csr_args(csr)
     if u_csr is not None:
-        (u_tab_p, u_span, u_nzw_p, u_n_nz, u_pr_p, u_id_p,
-         ukeep) = _csr_args(u_csr)
+        (u_tab_p, u_span, u_nzw_p, u_n_nz, u_pr_p, u_id_p, u_hk_p,
+         u_hv_p, u_hcap, ukeep) = _csr_args(u_csr)
     else:
-        u_tab_p = u_nzw_p = u_pr_p = u_id_p = None
-        u_span = u_n_nz = 0
+        u_tab_p = u_nzw_p = u_pr_p = u_id_p = u_hk_p = u_hv_p = None
+        u_span = u_n_nz = u_hcap = 0
     lib.scour_run(
         _ptr(qmat, _U8P), qmat.shape[1] if qmat.ndim == 2 else 0,
         _ptr(qlens, _I64P), b0, b1, qbunch, k,
         _ptr(aq_off, _I64P), _ptr(aq_words, _I64P), _ptr(aq_mult, _I64P),
-        tab_p, span, nzw_p, n_nz, pr_p, id_p,
+        tab_p, span, nzw_p, n_nz, pr_p, id_p, hk_p, hv_p, hcap,
         n_clumps, _ptr(mm_bunch, _I64P), _ptr(mm_inner, _I64P),
-        u_tab_p, u_span, u_nzw_p, u_n_nz, u_pr_p, u_id_p,
-        tot_units, threads)
+        u_tab_p, u_span, u_nzw_p, u_n_nz, u_pr_p, u_id_p, u_hk_p,
+        u_hv_p, u_hcap, tot_units, threads)
     sizes = np.zeros(3, np.int64)
     lib.scour_sizes(_ptr(sizes, _I64P))
     nb, nm, nu = int(sizes[0]), int(sizes[1]), int(sizes[2])
@@ -240,11 +264,12 @@ def unit_prefilter_native(qmat, qlens, b0, b1, k, u_csr, tot_units,
     qmat = np.ascontiguousarray(qmat, dtype=np.uint8)
     qlens = np.ascontiguousarray(qlens, dtype=np.int64)
     mm_inner = np.ascontiguousarray(mm_inner, dtype=np.int64)
-    tab_p, span, nzw_p, n_nz, pr_p, id_p, keep = _csr_args(u_csr)
+    (tab_p, span, nzw_p, n_nz, pr_p, id_p, hk_p, hv_p, hcap,
+     keep) = _csr_args(u_csr)
     n = lib.unit_prefilter_run(
         _ptr(qmat, _U8P), qmat.shape[1] if qmat.ndim == 2 else 0,
         _ptr(qlens, _I64P), b0, b1, k,
-        tab_p, span, nzw_p, n_nz, pr_p, id_p,
+        tab_p, span, nzw_p, n_nz, pr_p, id_p, hk_p, hv_p, hcap,
         tot_units, _ptr(mm_inner, _I64P), threads)
     out = np.empty(max(n, 1), np.int64)
     lib.unit_prefilter_fetch(_ptr(out, _I64P))

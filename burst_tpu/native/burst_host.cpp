@@ -26,13 +26,31 @@ namespace {
 // postings lookup. Dense path: tab[w] = 0 absent, top-bit-set =
 // single posting with the id inline (one cache miss resolves the
 // whole word -- most k-mers have one posting), else rank+1 into the
-// interleaved (start, count) pair array. Sparse path (k=15 spans):
-// binary search over the sorted nonzero words.
+// interleaved (start, count) pair array. Large spans (k=15) use an
+// open-addressing hash with the same value encoding; the final
+// fallback is binary search over the sorted nonzero words.
 struct Postings {
     const uint32_t* tab; long span;
     const int64_t* nzw; long n_nz;
     const int64_t* pairs;          // [2*n_nz] interleaved start,count
     const uint32_t* ids;
+    const int64_t* hkey; const uint32_t* hval; long hmask;
+
+    long hslot(int64_t w) const {
+        return (long)(((uint64_t)w * 0x9E3779B97F4A7C15ull) >> 17)
+               & hmask;
+    }
+
+    int64_t decode(uint32_t v, int64_t* s, int64_t* id) const {
+        if (v & 0x80000000u) {
+            *s = -1;
+            *id = (int64_t)(v & 0x7FFFFFFFu);
+            return 1;
+        }
+        long r = (long)v - 1;
+        *s = pairs[2 * r];
+        return pairs[2 * r + 1];
+    }
 
     // returns count; count==1 with *s == -1 means *id holds the
     // posting inline
@@ -41,14 +59,15 @@ struct Postings {
             if (w >= span) return 0;
             uint32_t v = tab[w];
             if (!v) return 0;
-            if (v & 0x80000000u) {
-                *s = -1;
-                *id = (int64_t)(v & 0x7FFFFFFFu);
-                return 1;
+            return decode(v, s, id);
+        }
+        if (hkey) {
+            long i = hslot(w);
+            while (hkey[i] != -1) {
+                if (hkey[i] == w) return decode(hval[i], s, id);
+                i = (i + 1) & hmask;
             }
-            long r = (long)v - 1;
-            *s = pairs[2 * r];
-            return pairs[2 * r + 1];
+            return 0;
         }
         const int64_t* lo = std::lower_bound(nzw, nzw + n_nz, w);
         if (lo == nzw + n_nz || *lo != w) return 0;
@@ -63,6 +82,31 @@ struct Cand { int64_t hits; int64_t touch; int64_t clump; };
 }  // namespace
 
 extern "C" {
+
+// Open-addressing hash build for large-span postings (k=15): same
+// value encoding as the dense table (inline single posting or rank+1).
+// cap must be a power of two > n.
+void hash_build(const int64_t* nzw, const int64_t* pairs,
+                const uint32_t* ids, long n,
+                int64_t* hkey, uint32_t* hval, long cap)
+{
+    long mask = cap - 1;
+    for (long i = 0; i < cap; ++i) hkey[i] = -1;
+    for (long r = 0; r < n; ++r) {
+        int64_t w = nzw[r];
+        uint32_t v;
+        if (pairs[2 * r + 1] == 1 &&
+            ids[pairs[2 * r]] < 0x80000000u)
+            v = 0x80000000u | ids[pairs[2 * r]];
+        else
+            v = (uint32_t)(r + 1);
+        long i = (long)(((uint64_t)w * 0x9E3779B97F4A7C15ull) >> 17)
+                 & mask;
+        while (hkey[i] != -1) i = (i + 1) & mask;
+        hkey[i] = w;
+        hval[i] = v;
+    }
+}
 
 // ---------------------------------------------------------------- scour
 // Bunch-level k-mer scour + candidate selection + member expansion.
@@ -94,11 +138,14 @@ long scour_run(
     const uint32_t* tab, long span,
     const int64_t* nzw, long n_nz,
     const int64_t* pairs, const uint32_t* ids,
+    const int64_t* hkey, const uint32_t* hval, long hcap,
     long n_clumps,
     const int64_t* mm_bunch, const int64_t* mm_inner,
     const uint32_t* u_tab, long u_span,
     const int64_t* u_nzw, long u_n_nz,
-    const int64_t* u_pairs, const uint32_t* u_ids, long tot_units,
+    const int64_t* u_pairs, const uint32_t* u_ids,
+    const int64_t* u_hkey, const uint32_t* u_hval, long u_hcap,
+    long tot_units,
     long threads)
 {
     long n_bunches = (b1 + qbunch - 1) / qbunch;
@@ -106,8 +153,10 @@ long scour_run(
     g_scour.bcnt.assign(n_bunches, 0);
     g_scour.mcnt.assign(b1, 0);
     g_scour.ukeys.clear();
-    Postings post{tab, span, nzw, n_nz, pairs, ids};
-    Postings upost{u_tab, u_span, u_nzw, u_n_nz, u_pairs, u_ids};
+    Postings post{tab, span, nzw, n_nz, pairs, ids,
+                  hkey, hval, hcap - 1};
+    Postings upost{u_tab, u_span, u_nzw, u_n_nz, u_pairs, u_ids,
+                   u_hkey, u_hval, u_hcap - 1};
     bool do_unit = u_ids != nullptr;
 
     int nt = threads > 0 ? (int)threads : omp_get_max_threads();
@@ -189,9 +238,11 @@ long scour_run(
             // look-up form stalls on every table probe). ps == -1
             // flags an inline single posting held in pid.
             ps.assign(nw, 0); pc.assign(nw, 0); pid.assign(nw, 0);
-            if (post.tab)
-                for (size_t i = 0; i < nw; ++i)
-                    __builtin_prefetch(&post.tab[uw[i]]);
+            for (size_t i = 0; i < nw; ++i) {
+                if (post.tab) __builtin_prefetch(&post.tab[uw[i]]);
+                else if (post.hkey)
+                    __builtin_prefetch(&post.hkey[post.hslot(uw[i])]);
+            }
             for (size_t i = 0; i < nw; ++i) {
                 int64_t s = 0, idv = 0;
                 int64_t c = post.find(uw[i], &s, &idv);
@@ -200,9 +251,12 @@ long scour_run(
             }
             if (do_unit) {
                 ups.assign(nw, 0); upc.assign(nw, 0); upid.assign(nw, 0);
-                if (upost.tab)
-                    for (size_t i = 0; i < nw; ++i)
-                        __builtin_prefetch(&upost.tab[uw[i]]);
+                for (size_t i = 0; i < nw; ++i) {
+                    if (upost.tab) __builtin_prefetch(&upost.tab[uw[i]]);
+                    else if (upost.hkey)
+                        __builtin_prefetch(
+                            &upost.hkey[upost.hslot(uw[i])]);
+                }
                 for (size_t i = 0; i < nw; ++i) {
                     int64_t s = 0, idv = 0;
                     int64_t c = upost.find(uw[i], &s, &idv);
@@ -355,10 +409,12 @@ long unit_prefilter_run(
     const uint32_t* tab, long span,
     const int64_t* nzw, long n_nz,
     const int64_t* pairs, const uint32_t* ids,
+    const int64_t* hkey, const uint32_t* hval, long hcap,
     long tot_units, const int64_t* mm_inner, long threads)
 {
     g_ukeys.clear();
-    Postings post{tab, span, nzw, n_nz, pairs, ids};
+    Postings post{tab, span, nzw, n_nz, pairs, ids, hkey, hval,
+                  hcap - 1};
     int nt = threads > 0 ? (int)threads : omp_get_max_threads();
     std::vector<std::vector<int64_t>> t_keys(nt);
 
