@@ -121,9 +121,132 @@ def _pods_by_query(pods: Pods, num_uniq: int):
     return by_q
 
 
+def _report_apf_native(pods, qd, rd, writer, taxonomy,
+                       forage: bool) -> bool:
+    """Columnar ALLPATHS/FORAGE emission (burst.c:4582-4692 row
+    semantics) through the native dupe filter + b6 formatter; False ->
+    the Python loop runs."""
+    from .native import b6_format_native, dupe_filter_native, load_host
+    if load_host() is None:
+        return False
+    n = len(pods.six)
+    if n == 0:
+        return True
+    six = pods.six.astype(np.int64)
+    nu = qd.num_uniq
+    # stable group-by query, preserving pod order within each query
+    order = np.argsort(six, kind="stable")
+    osix = six[order]
+    keep = np.ones(n, dtype=bool)
+    if not forage:
+        bm = np.full(nu, 1 << 30, np.int64)
+        np.minimum.at(bm, six, pods.ed.astype(np.int64))
+        keep = pods.ed[order] == bm[osix]
+        # head-pod guard (burst.c:4598): drop queries whose first
+        # best-ED pod has zero score
+        kidx = np.nonzero(keep)[0]
+        if len(kidx):
+            first = kidx[np.unique(osix[kidx], return_index=True)[1]]
+            bad_q = osix[first][pods.score[order[first]] == 0]
+            keep &= ~np.isin(osix, bad_q)
+    sel = order[keep]                      # pod rows, query-grouped
+    if not len(sel):
+        return True
+    # expand dedup groups into per-(pod, unit) entries
+    refpos = pods.refpos[sel].astype(np.int64)
+    if rd.dedup_ix is not None:
+        ga = rd.dedup_ix[refpos].astype(np.int64)
+        gb = rd.dedup_ix[refpos + 1].astype(np.int64)
+        gcnt = gb - ga
+        tot = int(gcnt.sum())
+        erow = np.repeat(np.arange(len(sel)), gcnt)   # entry -> sel row
+        csum = np.concatenate(([0], np.cumsum(gcnt)[:-1]))
+        rix = rd.tmp_rix[np.repeat(ga, gcnt) +
+                         (np.arange(tot) - np.repeat(csum, gcnt))
+                         ].astype(np.int64)
+    else:
+        erow = np.arange(len(sel))
+        rix = rd.ix_srt[refpos].astype(np.int64)
+    e_six = six[sel][erow]
+    qlen_e = qd.lens[e_six].astype(np.int64)
+    gr_e = pods.gap_r[sel][erow].astype(np.int64)
+    fp_e = pods.final_pos[sel][erow].astype(np.int64)
+    rc_e = pods.rc[sel][erow].astype(bool)
+    mo = rd.start[rix].astype(np.int64) if rd.start is not None \
+        else np.zeros(len(rix), np.int64)
+    st_dupe = np.where(rc_e, fp_e + mo, fp_e - qlen_e + gr_e + mo) \
+        & 0xFFFFFFFF
+    # per-query entry group offsets for the sequential dupe filter
+    qcnt = np.bincount(e_six, minlength=nu)
+    used_q = np.nonzero(qcnt)[0]
+    offs = np.concatenate(([0], np.cumsum(qcnt[used_q])))
+    kmask = dupe_filter_native(offs, rd.ref_map[rix].astype(np.int64),
+                               st_dupe.astype(np.uint32),
+                               (qd.lens[used_q].astype(np.int64) >> 1))
+    if kmask is None:
+        return False
+    erow, rix = erow[kmask], rix[kmask]
+    e_six, qlen_e = e_six[kmask], qlen_e[kmask]
+    gr_e, fp_e, rc_e, mo = (gr_e[kmask], fp_e[kmask], rc_e[kmask],
+                            mo[kmask])
+    gq_e = pods.gap_q[sel][erow].astype(np.int64)
+    ed_e = pods.ed[sel][erow].astype(np.int64)
+    sc_e = pods.score[sel][erow].astype(np.float32)
+    num_gap = gq_e + gr_e
+    st = np.where(rc_e, fp_e + mo, fp_e - qlen_e + gr_e + mo)
+    edx = np.where(rc_e, fp_e - qlen_e + gr_e + mo, fp_e + mo)
+    tax_items = trow_e = None
+    if taxonomy:
+        urix, inv = np.unique(rix, return_inverse=True)
+        tax_items = [taxonomy.lookup(rd.heads[int(r)]) for r in urix]
+        trow_e = inv.astype(np.int64)
+    # duplicate-query expansion: rows = per query, j outer x entry inner
+    ecnt = np.bincount(e_six, minlength=nu)
+    eoff = np.concatenate(([0], np.cumsum(ecnt)))
+    dup = (qd.offset[1:] - qd.offset[:-1]).astype(np.int64)
+    blocks_q = np.repeat(np.arange(nu), np.where(ecnt > 0, dup, 0))
+    jrel = (np.arange(len(blocks_q)) -
+            np.concatenate(([0], np.cumsum(np.where(ecnt > 0, dup, 0))
+                            ))[blocks_q])
+    bcnt = ecnt[blocks_q]
+    nrows = int(bcnt.sum())
+    if nrows == 0:
+        return True
+    bid = np.repeat(np.arange(len(blocks_q)), bcnt)
+    bstart = np.concatenate(([0], np.cumsum(bcnt)[:-1]))
+    eix = eoff[blocks_q[bid]] + (np.arange(nrows) - bstart[bid])
+    qrow = (qd.offset[blocks_q] + jrel)[bid].astype(np.int64)
+    qblob, qoff = _blob_cache(qd, "_hblob", qd.heads_sorted)
+    rblob, roff = _blob_cache(rd, "_hblob", rd.heads)
+    targs = {}
+    if tax_items is not None:
+        toff = np.zeros(len(tax_items) + 1, np.int64)
+        for i2, b in enumerate(tax_items):
+            toff[i2 + 1] = toff[i2] + len(b)
+        targs = dict(tblob=b"".join(tax_items), toff=toff,
+                     trow=trow_e[eix])
+    out = b6_format_native(
+        qblob, qoff, qrow, rblob, roff, rix[eix],
+        sc_e[eix],
+        ((qlen_e + num_gap)[eix] & 0xFFFFFFFF).astype(np.uint32),
+        ((ed_e - num_gap)[eix] & 0xFFFFFFFF).astype(np.uint32),
+        (num_gap[eix] & 0xFFFFFFFF).astype(np.uint32),
+        (qlen_e[eix] & 0xFFFFFFFF).astype(np.uint32),
+        (st[eix] & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+        (edx[eix] & 0xFFFFFFFF).astype(np.uint32),
+        (ed_e[eix] & 0xFFFFFFFF).astype(np.uint32),
+        e_six[eix], **targs)
+    if out is None:
+        return False
+    writer.write_bytes(out)
+    return True
+
+
 def report_allpaths_or_forage(pods: Pods, qd: QueryData, rd: RefData,
                               writer: B6Writer, taxonomy=None,
                               forage: bool = False):
+    if _report_apf_native(pods, qd, rd, writer, taxonomy, forage):
+        return
     by_q = _pods_by_query(pods, qd.num_uniq)
     for i in range(qd.num_uniq):
         lst = by_q[i]

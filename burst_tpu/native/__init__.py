@@ -105,6 +105,8 @@ def load_host():
             _I64P, _U32P, _I64P, _U32P, ctypes.c_long,
             ctypes.c_long, _I64P, ctypes.c_long]
         lib.unit_prefilter_fetch.argtypes = [_I64P]
+        lib.dupe_filter.argtypes = [
+            _I64P, ctypes.c_long, _I64P, _U32P, _I64P, _U8P]
         lib.build_peq16.argtypes = [
             _U8P, ctypes.c_long, _I64P, ctypes.c_long, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint16), _U32P]
@@ -233,6 +235,22 @@ def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
                     _ptr(mcnt, _I64P), _ptr(ukeys, _I64P))
     return (bflat[:nb], bhits[:nb], bcnt[:n_bunches], mflat[:nm],
             mcnt[:b1], ukeys[:nu] if u_csr is not None else None)
+
+
+def dupe_filter_native(offs, mapped, start, ql2s) -> np.ndarray | None:
+    """Per-group sequential DUPE_HUNT suppression; keep mask or None."""
+    lib = load_host()
+    if lib is None:
+        return None
+    offs = np.ascontiguousarray(offs, np.int64)
+    mapped = np.ascontiguousarray(mapped, np.int64)
+    start = np.ascontiguousarray(start, np.uint32)
+    ql2s = np.ascontiguousarray(ql2s, np.int64)
+    keep = np.zeros(max(len(mapped), 1), np.uint8)
+    lib.dupe_filter(_ptr(offs, _I64P), len(offs) - 1,
+                    _ptr(mapped, _I64P), _ptr(start, _U32P),
+                    _ptr(ql2s, _I64P), _ptr(keep, _U8P))
+    return keep[:len(mapped)].astype(bool)
 
 
 def build_peq16_native(qmat, qlens, W: int, smat) -> np.ndarray | None:

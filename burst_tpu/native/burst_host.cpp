@@ -482,6 +482,47 @@ void unit_prefilter_fetch(int64_t* out)
     std::vector<int64_t>().swap(g_ukeys);
 }
 
+// ----------------------------------------------- duplicate suppression
+// The reference's DUPE_HUNT (burst.c:4563-4580): within each group
+// (query), an entry is suppressed iff some PRIOR KEPT entry has the
+// same mapped ref and an overlapping start window:
+//   (u32)(s + ql2) > st  &&  s < (u32)(st + ql2)
+// Kept entries append to the window list; suppressed ones do not.
+void dupe_filter(const int64_t* offs, long n_groups,
+                 const int64_t* mapped, const uint32_t* start,
+                 const int64_t* ql2s, uint8_t* keep)
+{
+#pragma omp parallel
+    {
+        std::vector<int64_t> refs;
+        std::vector<uint32_t> starts;
+#pragma omp for schedule(static)
+        for (long g = 0; g < n_groups; ++g) {
+            refs.clear();
+            starts.clear();
+            uint32_t ql2 = (uint32_t)ql2s[g];
+            for (int64_t e = offs[g]; e < offs[g + 1]; ++e) {
+                uint32_t st = start[e];
+                bool seen = false;
+                for (size_t p = 0; p < refs.size(); ++p)
+                    if (refs[p] == mapped[e] &&
+                        (uint32_t)(starts[p] + ql2) > st &&
+                        starts[p] < (uint32_t)(st + ql2)) {
+                        seen = true;
+                        break;
+                    }
+                if (seen) {
+                    keep[e] = 0;
+                } else {
+                    keep[e] = 1;
+                    refs.push_back(mapped[e]);
+                    starts.push_back(st);
+                }
+            }
+        }
+    }
+}
+
 // ----------------------------------------------------------- Peq build
 // Myers bit tables (kernels/myers.build_peq semantics): bit y of word w
 // of plane c set iff query row y is a zero-cost match against reference
