@@ -407,9 +407,151 @@ def report_best(pods: Pods, qd: QueryData, rd: RefData, writer: B6Writer,
                        qlen, st, edx, int(pods.ed[ix]), i, tax)
 
 
+def _report_capitalist_native(pods, qd, rd, writer, taxonomy, taxacut,
+                              taxasuppress, taxlv) -> bool:
+    """Columnar CAPITALIST (burst.c:4694-4846): vectorized expansion +
+    native dupe filter and winner walk. Assumes every pod of a query
+    ties at its best ED (what select_pods produces for this mode);
+    False -> the Python loop runs."""
+    from .native import (b6_format_native, capitalist_select_native,
+                         dupe_filter_native, load_host)
+    if load_host() is None:
+        return False
+    n = len(pods.six)
+    if n == 0:
+        return True
+    six = pods.six.astype(np.int64)
+    nu = qd.num_uniq
+    # verify the equal-ED assumption cheaply
+    mn = np.full(nu, 1 << 30, np.int64)
+    mx = np.full(nu, -1, np.int64)
+    np.minimum.at(mn, six, pods.ed.astype(np.int64))
+    np.maximum.at(mx, six, pods.ed.astype(np.int64))
+    used = mx >= 0
+    if not np.array_equal(mn[used], mx[used]):
+        return False
+    order = np.argsort(six, kind="stable")
+    sel = order
+    refpos = pods.refpos[sel].astype(np.int64)
+    if rd.dedup_ix is not None:
+        ga = rd.dedup_ix[refpos].astype(np.int64)
+        gb = rd.dedup_ix[refpos + 1].astype(np.int64)
+        gcnt = gb - ga
+        tot = int(gcnt.sum())
+        erow = np.repeat(np.arange(len(sel)), gcnt)
+        csum = np.concatenate(([0], np.cumsum(gcnt)[:-1]))
+        rix = rd.tmp_rix[np.repeat(ga, gcnt) +
+                         (np.arange(tot) - np.repeat(csum, gcnt))
+                         ].astype(np.int64)
+    else:
+        erow = np.arange(len(sel))
+        rix = rd.ix_srt[refpos].astype(np.int64)
+    e_six = six[sel][erow]
+    qlen_e = qd.lens[e_six].astype(np.int64)
+    gr_e = pods.gap_r[sel][erow].astype(np.int64)
+    fp_e = pods.final_pos[sel][erow].astype(np.int64)
+    rc_e = pods.rc[sel][erow].astype(bool)
+    mo = rd.start[rix].astype(np.int64) if rd.start is not None \
+        else np.zeros(len(rix), np.int64)
+    st_dupe = np.where(rc_e, fp_e + mo, fp_e - qlen_e + gr_e + mo) \
+        & 0xFFFFFFFF
+    mapped = rd.ref_map[rix].astype(np.int64)
+    qcnt = np.bincount(e_six, minlength=nu)
+    used_q = np.nonzero(qcnt)[0]
+    offs = np.concatenate(([0], np.cumsum(qcnt[used_q])))
+    kmask = dupe_filter_native(offs, mapped,
+                               st_dupe.astype(np.uint32),
+                               (qd.lens[used_q].astype(np.int64) >> 1))
+    if kmask is None:
+        return False
+    # pass 1-2: vote tally over kept entries
+    n_bins = int(rd.ref_map.max()) + 1 if len(rd.ref_map) else 1
+    counts = np.bincount(mapped[kmask], minlength=n_bins)
+    # pass 3: winner walk per query over the kept entries
+    erow_k, rix_k = erow[kmask], rix[kmask]
+    e_six_k, mapped_k = e_six[kmask], mapped[kmask]
+    kcnt = np.bincount(e_six_k, minlength=nu)
+    used_k = np.nonzero(kcnt)[0]
+    koffs = np.concatenate(([0], np.cumsum(kcnt[used_k])))
+    bent = capitalist_select_native(koffs, sel[erow_k], mapped_k, counts)
+    if bent is None:
+        return False
+    win_e = bent                               # entry per used_k query
+    wins = sel[erow_k][win_e]                  # winning pod row
+    wrix = rix_k[win_e]
+    i_arr = used_k.astype(np.int64)
+    qlen = qd.lens[i_arr].astype(np.int64)
+    gq = pods.gap_q[wins].astype(np.int64)
+    gr = pods.gap_r[wins].astype(np.int64)
+    ed = pods.ed[wins].astype(np.int64)
+    fp = pods.final_pos[wins].astype(np.int64)
+    rc = pods.rc[wins].astype(bool)
+    mo_w = rd.start[wrix].astype(np.int64) if rd.start is not None \
+        else np.zeros(len(wrix), np.int64)
+    st = np.where(rc, fp + mo_w, fp - qlen + gr + mo_w)
+    edx = np.where(rc, fp - qlen + gr + mo_w, fp + mo_w)
+    num_gap = gq + gr
+    tax_items = None
+    if taxonomy:
+        tax_items = []
+        scores_k = pods.score[sel][erow_k]
+        for w, i in enumerate(used_k):
+            lo, hi = int(koffs[w]), int(koffs[w + 1])
+            taxa = [taxonomy.lookup(rd.heads[int(r)])
+                    for r in rix_k[lo:hi]]
+            best_score = float(scores_k[lo:hi].max())
+            tax, lv = _lca(taxa, taxacut)
+            if taxasuppress:
+                lm = 0
+                while lm < lv and lm < 8 and taxlv[lm] < best_score:
+                    lm += 1
+                if lm == 0:
+                    tax = b""
+                elif lm < lv and lm < 8:
+                    parts = tax.split(b";")
+                    if len(parts) > lm:
+                        tax = b";".join(parts[:lm])
+            tax_items.append(tax)
+    cnt = (qd.offset[i_arr + 1] - qd.offset[i_arr]).astype(np.int64)
+    nrows = int(cnt.sum())
+    if nrows == 0:
+        return True
+    widx = np.repeat(np.arange(len(i_arr)), cnt)
+    csum2 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    qrow = (np.arange(nrows) - csum2[widx] +
+            qd.offset[i_arr][widx]).astype(np.int64)
+    qblob, qoff = _blob_cache(qd, "_hblob", qd.heads_sorted)
+    rblob, roff = _blob_cache(rd, "_hblob", rd.heads)
+    targs = {}
+    if tax_items is not None:
+        toff = np.zeros(len(tax_items) + 1, np.int64)
+        for i2, b in enumerate(tax_items):
+            toff[i2 + 1] = toff[i2] + len(b)
+        targs = dict(tblob=b"".join(tax_items), toff=toff, trow=widx)
+    out = b6_format_native(
+        qblob, qoff, qrow, rblob, roff, wrix[widx],
+        pods.score[wins][widx].astype(np.float32),
+        ((qlen + num_gap)[widx] & 0xFFFFFFFF).astype(np.uint32),
+        ((ed - num_gap)[widx] & 0xFFFFFFFF).astype(np.uint32),
+        (num_gap[widx] & 0xFFFFFFFF).astype(np.uint32),
+        (qlen[widx] & 0xFFFFFFFF).astype(np.uint32),
+        (st[widx] & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+        (edx[widx] & 0xFFFFFFFF).astype(np.uint32),
+        (ed[widx] & 0xFFFFFFFF).astype(np.uint32),
+        i_arr[widx], **targs)
+    if out is None:
+        return False
+    writer.write_bytes(out)
+    return True
+
+
 def report_capitalist(pods: Pods, qd: QueryData, rd: RefData,
                       writer: B6Writer, taxonomy=None, taxacut: int = 10,
                       taxasuppress=False, strict=False):
+    taxlv0 = TAXLEVELS_STRICT if strict else TAXLEVELS_LENIENT
+    if _report_capitalist_native(pods, qd, rd, writer, taxonomy,
+                                 taxacut, taxasuppress, taxlv0):
+        return
     by_q = _pods_by_query(pods, qd.num_uniq)
     taxlv = TAXLEVELS_STRICT if strict else TAXLEVELS_LENIENT
     n_bins = int(rd.ref_map.max()) + 1 if len(rd.ref_map) else 1

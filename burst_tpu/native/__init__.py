@@ -107,6 +107,8 @@ def load_host():
         lib.unit_prefilter_fetch.argtypes = [_I64P]
         lib.dupe_filter.argtypes = [
             _I64P, ctypes.c_long, _I64P, _U32P, _I64P, _U8P]
+        lib.capitalist_select.argtypes = [
+            _I64P, ctypes.c_long, _I64P, _I64P, _I64P, _I64P]
         lib.build_peq16.argtypes = [
             _U8P, ctypes.c_long, _I64P, ctypes.c_long, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint16), _U32P]
@@ -251,6 +253,22 @@ def dupe_filter_native(offs, mapped, start, ql2s) -> np.ndarray | None:
                     _ptr(mapped, _I64P), _ptr(start, _U32P),
                     _ptr(ql2s, _I64P), _ptr(keep, _U8P))
     return keep[:len(mapped)].astype(bool)
+
+
+def capitalist_select_native(offs, pod, mapped, counts):
+    """Per-group CAPITALIST winner walk; entry indices or None."""
+    lib = load_host()
+    if lib is None:
+        return None
+    offs = np.ascontiguousarray(offs, np.int64)
+    pod = np.ascontiguousarray(pod, np.int64)
+    mapped = np.ascontiguousarray(mapped, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    out = np.empty(max(len(offs) - 1, 1), np.int64)
+    lib.capitalist_select(_ptr(offs, _I64P), len(offs) - 1,
+                          _ptr(pod, _I64P), _ptr(mapped, _I64P),
+                          _ptr(counts, _I64P), _ptr(out, _I64P))
+    return out[: len(offs) - 1]
 
 
 def build_peq16_native(qmat, qlens, W: int, smat) -> np.ndarray | None:

@@ -523,6 +523,36 @@ void dupe_filter(const int64_t* offs, long n_groups,
     }
 }
 
+// ------------------------------------------------- CAPITALIST pass 3
+// Per query group, walk the kept entries in order and pick the winner
+// exactly like burst.c:4755-4779: the first entry wins initially; a
+// later entry replaces it when its bin has more votes, ties with a
+// lower bin id, or belongs to the currently-best pod (the reference
+// re-walks the winning pod's duplicate expansion, so its last
+// expanded ref wins). Returns the winning entry index per group
+// (-1 for empty groups).
+void capitalist_select(const int64_t* offs, long n_groups,
+                       const int64_t* pod, const int64_t* mapped,
+                       const int64_t* counts, int64_t* best_entry)
+{
+#pragma omp parallel for schedule(static)
+    for (long g = 0; g < n_groups; ++g) {
+        int64_t best = -1;
+        int64_t best_pod = -1, best_map = -1;
+        for (int64_t e = offs[g]; e < offs[g + 1]; ++e) {
+            if (best < 0 || pod[e] == best_pod ||
+                counts[mapped[e]] > counts[best_map] ||
+                (counts[mapped[e]] == counts[best_map] &&
+                 mapped[e] < best_map)) {
+                best = e;
+                best_pod = pod[e];
+                best_map = mapped[e];
+            }
+        }
+        best_entry[g] = best;
+    }
+}
+
 // ----------------------------------------------------------- Peq build
 // Myers bit tables (kernels/myers.build_peq semantics): bit y of word w
 // of plane c set iff query row y is a zero-cost match against reference
