@@ -780,7 +780,7 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
     res = scour_native(qmat, qlens_all, b0, b1, qbunch, k, aq_off, aqw,
                        aqm, acc.csr, n_clumps, mm_bunch, mm_inner,
                        u_csr=acc.u_csr if do_unit else None,
-                       tot_units=rd.tot_units)
+                       tot_units=rd.tot_units, vecsz=VECSZ)
     if res is None:
         return None
     kc, kh, bcnt, mflat, mcnt, ukeys = res

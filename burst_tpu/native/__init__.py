@@ -93,7 +93,7 @@ def load_host():
             ctypes.c_long, _I64P, _I64P,
             _U32P, ctypes.c_long, _I64P, ctypes.c_long,
             _I64P, _U32P, _I64P, _U32P, ctypes.c_long,
-            ctypes.c_long, ctypes.c_long]
+            ctypes.c_long, ctypes.c_long, ctypes.c_long]
         lib.scour_sizes.argtypes = [_I64P]
         lib.scour_fetch.argtypes = [_I64P, _I64P, _I64P, _I64P, _I64P,
                                     _I64P]
@@ -187,9 +187,26 @@ def _csr_args(csr):
             hcap, cached)
 
 
+def _unit_ids_clump_grouped(u_csr, vecsz: int) -> bool:
+    """True iff every word's unit postings are ascending (so distinct
+    clumps appear exactly once, in the ACX clump-posting order) --
+    precondition for the single-walk scour fast path. Cached."""
+    got = getattr(u_csr, "_clump_grouped", None)
+    if got is None:
+        ids = u_csr.ids.astype(np.int64)
+        ok = True
+        if len(ids) > 1:
+            d = np.diff(ids) > 0
+            seg_starts = np.zeros(len(ids), dtype=bool)
+            seg_starts[u_csr.start[u_csr.cnt > 0]] = True
+            ok = bool(np.all(d | seg_starts[1:]))
+        got = u_csr._clump_grouped = ok
+    return got
+
+
 def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
                  aq_mult, csr, n_clumps, mm_bunch, mm_inner,
-                 u_csr=None, tot_units=0, threads=0):
+                 u_csr=None, tot_units=0, vecsz=0, threads=0):
     """Native bunch scour; returns (bflat, bhits, bcnt, mflat, mcnt,
     ukeys) or None when the library is unavailable. With `u_csr` the
     unit-level prefilter runs fused in the same pass (ukeys = sorted
@@ -214,6 +231,9 @@ def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
     else:
         u_tab_p = u_nzw_p = u_pr_p = u_id_p = u_hk_p = u_hv_p = None
         u_span = u_n_nz = u_hcap = 0
+    if vecsz and u_csr is not None and \
+            not _unit_ids_clump_grouped(u_csr, vecsz):
+        vecsz = 0          # fast path precondition unmet
     lib.scour_run(
         _ptr(qmat, _U8P), qmat.shape[1] if qmat.ndim == 2 else 0,
         _ptr(qlens, _I64P), b0, b1, qbunch, k,
@@ -221,7 +241,7 @@ def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
         tab_p, span, nzw_p, n_nz, pr_p, id_p, hk_p, hv_p, hcap,
         n_clumps, _ptr(mm_bunch, _I64P), _ptr(mm_inner, _I64P),
         u_tab_p, u_span, u_nzw_p, u_n_nz, u_pr_p, u_id_p, u_hk_p,
-        u_hv_p, u_hcap, tot_units, threads)
+        u_hv_p, u_hcap, tot_units, vecsz, threads)
     sizes = np.zeros(3, np.int64)
     lib.scour_sizes(_ptr(sizes, _I64P))
     nb, nm, nu = int(sizes[0]), int(sizes[1]), int(sizes[2])

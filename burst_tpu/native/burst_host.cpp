@@ -146,6 +146,7 @@ long scour_run(
     const int64_t* u_pairs, const uint32_t* u_ids,
     const int64_t* u_hkey, const uint32_t* u_hval, long u_hcap,
     long tot_units,
+    long vecsz,
     long threads)
 {
     long n_bunches = (b1 + qbunch - 1) / qbunch;
@@ -233,6 +234,50 @@ long scour_run(
                 }
             }
             size_t nw = uw.size();
+            // single-walk fast path: with the unit index active and
+            // one clear member per bunch, the unit postings drive BOTH
+            // tables -- clump hits accumulate once per distinct clump
+            // per word (unit ids are clump-grouped ascending, matching
+            // the ACX clump-posting order, so first-touch ranks agree)
+            bool fast1 = do_unit && qbunch == 1 && vecsz > 0 &&
+                         j_lo >= b0;
+            touched.clear();
+            if (fast1) {
+                ups.assign(nw, 0); upc.assign(nw, 0); upid.assign(nw, 0);
+                for (size_t i = 0; i < nw; ++i) {
+                    if (upost.tab) __builtin_prefetch(&upost.tab[uw[i]]);
+                    else if (upost.hkey)
+                        __builtin_prefetch(
+                            &upost.hkey[upost.hslot(uw[i])]);
+                }
+                for (size_t i = 0; i < nw; ++i) {
+                    int64_t s = 0, idv = 0;
+                    int64_t c = upost.find(uw[i], &s, &idv);
+                    ups[i] = s; upc[i] = c; upid[i] = idv;
+                    if (c && s >= 0) __builtin_prefetch(&u_ids[s]);
+                }
+                utouched.clear();
+                for (size_t i = 0; i < nw; ++i) {
+                    int64_t c = upc[i], m = uwt[i];
+                    if (!c) continue;
+                    int64_t last_cl = -1;
+                    for (int64_t p = 0; p < c; ++p) {
+                        int64_t u = ups[i] < 0 ? upid[i]
+                                               : (int64_t)u_ids[ups[i] + p];
+                        if (!uh[u]) utouched.push_back(u);
+                        uh[u] = (int32_t)std::min<int64_t>(
+                            (int64_t)uh[u] + m, 0x7FFFFFFF);
+                        int64_t cl = u / vecsz;
+                        if (cl != last_cl) {
+                            if (!hits[cl]) touched.push_back(cl);
+                            int64_t h = (int64_t)hits[cl] + m;
+                            hits[cl] = (int32_t)std::min<int64_t>(
+                                h, 0xFFFF);
+                            last_cl = cl;
+                        }
+                    }
+                }
+            } else {
             // stage: batched postings lookups (independent accesses
             // overlap their cache misses; the dependent walk-as-you-
             // look-up form stalls on every table probe). ps == -1
@@ -265,7 +310,6 @@ long scour_run(
                 }
             }
             // clump hit accumulation in word order
-            touched.clear();
             for (size_t i = 0; i < nw; ++i) {
                 int64_t c = pc[i], m = uwt[i];
                 if (!c) continue;
@@ -283,6 +327,7 @@ long scour_run(
                     int64_t h = (int64_t)hits[cl] + m;
                     hits[cl] = (int32_t)std::min<int64_t>(h, 0xFFFF);
                 }
+            }
             }
             // candidates: hits > mm_bunch, (hits desc, touch-order asc)
             int64_t thr = mm_bunch[g];
@@ -315,7 +360,15 @@ long scour_run(
             for (int64_t cl : touched) hits[cl] = 0;
             // fused unit-level prefilter (clear members only) over the
             // same run-collapsed words
-            if (do_unit) {
+            if (fast1) {
+                std::sort(utouched.begin(), utouched.end());
+                int64_t thrU = mm_inner[j_lo];
+                for (int64_t u : utouched) {
+                    if (uh[u] > thrU)
+                        t_ukeys[tid].push_back(j_lo * tot_units + u);
+                    uh[u] = 0;
+                }
+            } else if (do_unit) {
                 for (long j = std::max(j_lo, b0); j < j_hi; ++j) {
                     int64_t mrel = j - j_lo;
                     utouched.clear();
