@@ -54,7 +54,15 @@ def make_rescore(smat_np: np.ndarray):
         # the scan may stop at the batch's max query length instead of
         # the full 32*W padding
         m_pad = W * 32 if rows is None else rows
-        assert Lp <= 7679 and m_pad <= 256, "packed rescore range"
+        # key packing: 13+13-bit int32 keys cover Lp <= 7679 and
+        # m_pad <= 511 (score <= DEAD+1 = 512, col-0 boundary <= m_pad,
+        # shift-R counter <= m_pad in the 9-bit payload field); larger
+        # shapes switch to 21+21-bit int64 keys -- same math, wider
+        wide = not (Lp <= 7679 and m_pad <= 511)
+        assert Lp < (1 << 20) and m_pad < (1 << 20), "rescore range"
+        SH, PSH = 13, 9
+        GMASK = (1 << SH) - 1
+        PMASK = (1 << PSH) - 1
         L1 = Lp + 1
         bad = (max_ed + 1).astype(jnp.int32)[:, None]        # [P,1]
         xs = jnp.arange(L1, dtype=jnp.int32)[None, :]        # [1,L1]
@@ -83,8 +91,8 @@ def make_rescore(smat_np: np.ndarray):
 
         def pack(s, g, x):
             hi = (s - x + offs)
-            lo = jnp.int32(8191) - (g - x + offs)
-            return (hi << jnp.int32(13)) | lo
+            lo = jnp.int32(GMASK) - (g - x + offs)
+            return (hi << jnp.int32(SH)) | lo
 
         # --- row 1, special-cased exactly like the reference ---
         d1 = cost_row(1)
@@ -96,7 +104,7 @@ def make_rescore(smat_np: np.ndarray):
         shr = jnp.zeros((P, L1), jnp.int32).at[:, 0].set(1)
         sc = jnp.where(sc >= bad, DEAD, sc)
 
-        neg_inf_key = jnp.int32((8191 << 13) | 8191)
+        neg_inf_key = jnp.int32((GMASK << SH) | GMASK)
 
         def row_step(carry, y):
             psc, psh, pshr = carry
@@ -114,27 +122,59 @@ def make_rescore(smat_np: np.ndarray):
             bs = jnp.concatenate([ycol, bs], axis=1)
             bg = jnp.concatenate([jnp.zeros((P, 1), jnp.int32), bg], axis=1)
             br = jnp.concatenate([ycol, br], axis=1)
-            # left-gap chain: packed-key prefix selection
-            key = pack(jnp.minimum(bs, DEAD + 1), bg, xs)
-            pay = (xs * jnp.ones((P, 1), jnp.int32) << jnp.int32(9)) | br
-            d_shift = 1
-            # A left-gap chain longer than the largest error budget is
-            # dead after the >= bad clamp, so the prefix selection only
-            # needs a look-back window of max(max_ed)+1 columns
-            # (burst.c:762-770: runs >= the budget saturate the same way).
+            # left-gap chain: prefix selection. Narrow shapes pack
+            # (score, gapQ) into one int32 key and (x, shiftR) into one
+            # int32 payload; wide shapes compare the four int32 planes
+            # lexicographically (same order, no field-width limits).
             d_stop = L1 if levels is None else min(L1, 1 << levels)
-            while d_shift < d_stop:
-                kpad = jnp.full((P, d_shift), neg_inf_key, jnp.int32)
-                ppad = jnp.zeros((P, d_shift), jnp.int32)
-                ks = jnp.concatenate([kpad, key[:, :-d_shift]], axis=1)
-                ps = jnp.concatenate([ppad, pay[:, :-d_shift]], axis=1)
-                better = (ks < key) | ((ks == key) & (ps > pay))
-                key = jnp.where(better, ks, key)
-                pay = jnp.where(better, ps, pay)
-                d_shift <<= 1
-            nsc = (key >> jnp.int32(13)) - offs + xs
-            nsh = (jnp.int32(8191) - (key & jnp.int32(8191))) - offs + xs
-            nshr = pay & jnp.int32(511)
+            d_shift = 1
+            if not wide:
+                key = pack(jnp.minimum(bs, DEAD + 1), bg, xs)
+                pay = ((xs * jnp.ones((P, 1), jnp.int32))
+                       << jnp.int32(PSH)) | br
+                while d_shift < d_stop:
+                    kpad = jnp.full((P, d_shift), neg_inf_key, jnp.int32)
+                    ppad = jnp.zeros((P, d_shift), jnp.int32)
+                    ks = jnp.concatenate([kpad, key[:, :-d_shift]],
+                                         axis=1)
+                    ps = jnp.concatenate([ppad, pay[:, :-d_shift]],
+                                         axis=1)
+                    better = (ks < key) | ((ks == key) & (ps > pay))
+                    key = jnp.where(better, ks, key)
+                    pay = jnp.where(better, ps, pay)
+                    d_shift <<= 1
+                nsc = (key >> jnp.int32(SH)) - offs + xs
+                nsh = (jnp.int32(GMASK) - (key & jnp.int32(GMASK))) \
+                    - offs + xs
+                nshr = pay & jnp.int32(PMASK)
+            else:
+                k_hi = jnp.minimum(bs, DEAD + 1) - xs
+                k_lo = -(bg - xs)          # gapQ desc == -(g - x) asc
+                p_x = xs * jnp.ones((P, 1), jnp.int32)
+                p_br = br
+                big = jnp.int32(1 << 30)
+
+                def shl(a, d, fill):
+                    head = jnp.full((P, d), fill, a.dtype)
+                    return jnp.concatenate([head, a[:, :-d]], axis=1)
+
+                while d_shift < d_stop:
+                    s_hi = shl(k_hi, d_shift, big)
+                    s_lo = shl(k_lo, d_shift, big)
+                    s_x = shl(p_x, d_shift, jnp.int32(0))
+                    s_br = shl(p_br, d_shift, jnp.int32(0))
+                    better = (s_hi < k_hi) | (
+                        (s_hi == k_hi) & ((s_lo < k_lo) | (
+                            (s_lo == k_lo) & ((s_x > p_x) | (
+                                (s_x == p_x) & (s_br > p_br))))))
+                    k_hi = jnp.where(better, s_hi, k_hi)
+                    k_lo = jnp.where(better, s_lo, k_lo)
+                    p_x = jnp.where(better, s_x, p_x)
+                    p_br = jnp.where(better, s_br, p_br)
+                    d_shift <<= 1
+                nsc = k_hi + xs
+                nsh = -k_lo + xs
+                nshr = p_br
             nsc = jnp.where(nsc >= bad, DEAD, nsc)
             nsc = nsc.at[:, 0].set(y)
             nsh = nsh.at[:, 0].set(0)
@@ -264,9 +304,10 @@ def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
     """
     rows = min(W * 32, int(-(-int(qlens.max()) // 8)) * 8) if len(qlens) \
         else W * 32
+    Lp_eff = tiles_all.shape[1] if Lw is None else (Lw - 1)
     if _use_pallas() and len(pidx) % 256 == 0 and \
-            peq_all.shape[1] == 16:
-        Lp = tiles_all.shape[1] if Lw is None else (Lw - 1)
+            peq_all.shape[1] == 16 and rows <= 511 and Lp_eff <= 7679:
+        Lp = Lp_eff
         # L1 a multiple of 128 keeps every state array lane-aligned
         L1 = -(-(Lp + 1) // 128) * 128
         qmeta = np.stack([qlens.astype(np.int32),

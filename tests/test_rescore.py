@@ -103,3 +103,41 @@ def test_mixed_query_lengths_same_bucket():
     for i, ex in enumerate(expects):
         assert (ed[i], gq[i], gr[i], fp[i], sc[i]) == \
             (ex["ed"], ex["gap_q"], ex["gap_r"], ex["final_pos"], ex["score"]), i
+
+
+def test_wide_packing_long_query():
+    """Queries past the 511-row packed-key limit use the 4-plane wide
+    comparison; stats must match the narrow path run on a padded-up
+    tile (both exact)."""
+    import numpy as np
+
+    from burst_tpu.alphabet import score_matrix
+    from burst_tpu.kernels.rescore import rescore_pairs
+
+    rng = np.random.default_rng(11)
+    qlen = 600                       # W = 19 -> m_pad 608 > 511 (wide)
+    ref = rng.integers(1, 5, size=900).astype(np.uint8)
+    q = ref[100:100 + qlen].copy()
+    for p in rng.integers(0, qlen, size=5):
+        q[p] = rng.integers(1, 5)
+    q2 = np.concatenate([ref[150:150 + 300], ref[500:500 + 300]]
+                        ).astype(np.uint8)
+    W = -(-qlen // 32)
+    m_pad = W * 32
+    tiles = np.zeros((2, 900 + m_pad), np.uint8)
+    tiles[0, :900] = ref
+    tiles[1, :900] = ref
+    queries = np.zeros((2, m_pad), np.uint8)
+    queries[0, :qlen] = q
+    queries[1, :600] = q2
+    qlens = np.array([qlen, 600], np.int64)
+    max_ed = np.array([200, 200], np.int64)
+    ed, gq, gr, fp, sc = rescore_pairs(queries, qlens, tiles, max_ed, W,
+                                       score_matrix())
+    # oracle: exact tie-aware DP
+    from burst_tpu.kernels.refdp import rescore as ref_rescore
+    for i, qq in enumerate((q, q2)):
+        o = ref_rescore(qq, ref, int(max_ed[i]))
+        assert ed[i] == o["ed"], (i, ed[i], o["ed"])
+        assert gq[i] == o["gap_q"] and gr[i] == o["gap_r"], i
+        assert fp[i] == o["final_pos"], (i, fp[i], o["final_pos"])
