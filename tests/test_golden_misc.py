@@ -102,3 +102,41 @@ def test_missing_files_clean_errors(tmp_path):
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert res.returncode == 2
     assert "Cannot open FASTA file" in res.stderr
+
+
+def test_serving_api_matches_cli(tmp_path):
+    """Aligner.align_batch must produce the CLI's exact bytes."""
+    import os
+
+    import numpy as np
+
+    from burst_tpu.serving import Aligner
+
+    from . import golden
+
+    rng = np.random.default_rng(31)
+    refs = golden.make_refs(rng, 15, lo=300, hi=600)
+    reads = golden.make_reads(rng, refs, 80, read_len=100, max_err=2)
+    rfa, qfa = str(tmp_path / "r.fa"), str(tmp_path / "q.fa")
+    golden.write_fasta(rfa, refs)
+    golden.write_fasta(qfa, reads)
+    os.environ["BURST_TPU_SCOUR_N"] = "12"
+    try:
+        edx, acx = str(tmp_path / "d.edx"), str(tmp_path / "d.acx")
+        golden.run_ours(["-r", rfa, "-o", edx, "-a", acx, "-d", "DNA",
+                         "320", "-s", "--noprogress"])
+        out = str(tmp_path / "cli.b6")
+        golden.run_ours(["-r", edx, "-a", acx, "-q", qfa, "-o", out,
+                         "-m", "BEST", "--noprogress"])
+        al = Aligner.from_artifacts(edx, acx, thres=0.97, mode="BEST")
+        heads = [h.encode() for h, _ in reads]
+        seqs = [np.frombuffer(s.encode(), dtype=np.uint8)
+                for _, s in reads]
+        got = al.align_batch(heads, seqs)
+        # two batches must each be self-consistent too (state reuse)
+        got2 = al.align_batch(heads, seqs)
+        assert got == got2
+        with open(out, "rb") as f:
+            assert got == f.read()
+    finally:
+        del os.environ["BURST_TPU_SCOUR_N"]
