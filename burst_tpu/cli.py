@@ -70,6 +70,10 @@ def parse_args(argv):
             a["tax"] = need("--taxonomy requires filename argument")
         elif arg in ("--mode", "-m"):
             m = need("--mode requires an argument")
+            if m == "MATRIX":          # burst.c:4963-4964
+                print("ERROR: Matrix mode is no longer supported",
+                      file=sys.stderr)
+                sys.exit(1)
             if m not in ("BEST", "ALLPATHS", "CAPITALIST", "FORAGE", "ANY"):
                 print(f"Unsupported run mode '{m}'")
                 sys.exit(1)
