@@ -171,6 +171,30 @@ def _unit_lb(rd: RefData, granularity: int = 64):
     return lbs
 
 
+def _myers_pairs_dispatch(peq_dev, tiles_dev, pidx, tidx, W: int):
+    """Pallas pair kernel on TPU when the block shape fits; jnp scan
+    otherwise (CPU tests, odd shapes). Both are bit-exact."""
+    from .kernels.rescore import _use_pallas
+    if _use_pallas() and len(pidx) % 1024 == 0 and W <= 8 and \
+            peq_dev.shape[1] == 16 and tiles_dev.shape[1] <= 1536:
+        from .kernels.myers_pallas import myers_pairs_pallas
+        return myers_pairs_pallas(peq_dev, tiles_dev, pidx, tidx,
+                                  int(W))
+    return myers.myers_min_ed_gather_pos(peq_dev, tiles_dev, pidx,
+                                         tidx, int(W))
+
+
+def _myers_cross_dispatch(pq, tb, W: int):
+    """Pallas cross kernel on TPU when the block shape fits."""
+    from .kernels.rescore import _use_pallas
+    if _use_pallas() and pq.shape[0] % 8 == 0 and \
+            tb.shape[0] % 128 == 0 and pq.shape[1] == 16 and \
+            W <= 16 and tb.shape[1] <= 4096:
+        from .kernels.myers_pallas import myers_cross_pallas
+        return myers_cross_pallas(pq, tb, int(W))
+    return myers.myers_min_ed_cross(pq, tb, W)
+
+
 def compute_ed_matrix(qd: QueryData, rd: RefData,
                       smat: np.ndarray | None = None) -> np.ndarray:
     """Phase A: [numUnibins, tot_units] uint8 min-ED matrix (clipped 255)."""
@@ -199,7 +223,7 @@ def compute_ed_matrix(qd: QueryData, rd: RefData,
                 pq = _pad_rows(peq[q0:q0 + qchunk], qchunk)
                 for t0 in range(0, len(poss), tchunk):
                     tb = _pad_rows(tiles[t0:t0 + tchunk], tchunk)
-                    block = myers.myers_min_ed_cross(pq, tb, W)
+                    block = _myers_cross_dispatch(pq, tb, W)
                     nq = min(qchunk, len(rows) - q0)
                     nt = min(tchunk, len(poss) - t0)
                     pending.append((rows[q0:q0 + nq], poss[t0:t0 + nt],
@@ -928,7 +952,7 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
                 tidx = np.zeros(pchunk, np.int32)
                 pidx[: len(part)] = prows[s0:s0 + pchunk]
                 tidx[: len(part)] = trows[s0:s0 + pchunk]
-                pending.append((part, myers.myers_min_ed_gather_pos(
+                pending.append((part, _myers_pairs_dispatch(
                     peq_dev, tiles_dev, pidx, tidx, int(W))))
     if defer:
         return pending

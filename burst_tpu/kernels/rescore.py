@@ -305,8 +305,13 @@ def rescore_pairs_gather_async(peq_all, tiles_all, pidx, tidx, qlens,
     rows = min(W * 32, int(-(-int(qlens.max()) // 8)) * 8) if len(qlens) \
         else W * 32
     Lp_eff = tiles_all.shape[1] if Lw is None else (Lw - 1)
+    # scoped-VMEM estimate for the kernel's state + Eq scratch (x2 for
+    # Mosaic double buffering); beyond ~14MB the jnp core runs instead
+    L1_eff = -(-(Lp_eff + 1) // 128) * 128
+    vmem_est = (4 * L1_eff + W * (L1_eff - 1)) * 256 * 4 * 2
     if _use_pallas() and len(pidx) % 256 == 0 and \
-            peq_all.shape[1] == 16 and rows <= 511 and Lp_eff <= 7679:
+            peq_all.shape[1] == 16 and rows <= 511 and \
+            Lp_eff <= 7679 and vmem_est <= 12 * 2 ** 20:
         Lp = Lp_eff
         # L1 a multiple of 128 keeps every state array lane-aligned
         L1 = -(-(Lp + 1) // 128) * 128
