@@ -79,3 +79,23 @@ def test_exact_match_found_in_padded_tile():
     r = translate_str("ACGTACGTTTGCAGGCATACGT" * 5)
     q = r[13:47].copy()
     assert myers.min_ed_numpy_reference(q, r, smat=SM) == 0
+
+
+def test_pallas_kernels_bit_equal_on_tpu():
+    """Full Pallas-vs-jnp sweep; runs only when a TPU is attached
+    (the CI/test mesh is CPU, where the jnp path is the product)."""
+    import subprocess
+    import sys
+
+    import jax
+    import pytest
+
+    plat = jax.devices()[0].platform.lower()
+    if "tpu" not in plat and "axon" not in plat:
+        pytest.skip("needs TPU")
+    res = subprocess.run(
+        [sys.executable, "tools/validate_myers_pallas.py"],
+        capture_output=True, text=True,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__file__)))
+    assert res.returncode == 0, res.stdout + res.stderr
