@@ -56,6 +56,7 @@ def run_pipeline(qheads, reads, rd, acc, smat):
 
     qd = process_queries(qheads, reads, THRES, do_rc=False)
     qbins = bin_queries_for_accel(qd, acc.k, 1)
+    engine.prefetch_query_planes(qd, smat)   # async h2d during scour
     visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
     sed = engine.compute_ed_matrix_accel(qd, rd, visits, smat,
                                          defer=True)

@@ -256,6 +256,7 @@ def run(a) -> int:
         from .process import bin_queries_for_accel
         acc = read_acx(a["accel"], z_required=a["z"])
         qbins = bin_queries_for_accel(qd, acc.k, a["z"], a["heur"])
+        engine.prefetch_query_planes(qd, smat)  # h2d overlaps the scour
         visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"],
                                          threads=a["threads"])
         ph.mark("Accelerator scour")

@@ -141,6 +141,19 @@ def _peq_device(qd: QueryData, W: int, smat: np.ndarray):
     return got
 
 
+def prefetch_query_planes(qd: QueryData, smat: np.ndarray):
+    """Start the async host->device upload of every W-bucket's Peq.
+
+    jnp.asarray returns immediately; the transfer streams in the
+    background. Calling this right after process_queries lets the
+    (~90ms at 20k reads over a tunneled link) query-plane upload
+    overlap the host-side k-mer scour instead of serializing in
+    front of the phase-A kernel dispatch."""
+    _, _, qw = _query_matrix(qd)
+    for W in np.unique(qw):
+        _peq_device(qd, int(W), smat)
+
+
 def _tiles_device(rd: RefData, lb: int, pad: int):
     """Device-resident pow2-padded tile matrix for one length bucket."""
     cache = getattr(rd, "_tiledev", None)

@@ -121,6 +121,11 @@ def bin_queries_for_accel(qd: QueryData, k: int, z: int,
     qd.seqs = [qd.seqs[j] for j in order]
     qd.six = qd.six[order]
     qd.rc = qd.rc[order]
+    # row order changed: row-indexed caches built from the old order
+    # (query matrix, Peq planes, their device copies) are now stale
+    for attr in ("_qmat", "_peqcache", "_peqdev"):
+        if hasattr(qd, attr):
+            delattr(qd, attr)
     stat = stat[order]
     b0 = int(np.searchsorted(stat, 1))
     b1 = int(np.searchsorted(stat, 2))

@@ -87,6 +87,7 @@ class Aligner:
         writer = modes.B6Writer(buf)
         if self.acc is not None:
             qbins = bin_queries_for_accel(qd, self.acc.k, self.z)
+            engine.prefetch_query_planes(qd, self.smat)
             visits = engine.accel_candidates(qd, self.rd, self.acc,
                                              qbins)
             ed = engine.compute_ed_matrix_accel(qd, self.rd, visits,
