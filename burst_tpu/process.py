@@ -22,9 +22,78 @@ import dataclasses
 
 import numpy as np
 
-from .alphabet import translate, revcomp
+from .alphabet import CHAR2NUM, RVT, translate, revcomp
 
 LATENCY = 16
+
+
+def _process_queries_vec(headers, raw_seqs, thres: float, do_rc: bool,
+                         xalpha: bool):
+    """Vectorized fast path of process_queries (identical semantics).
+
+    Builds one padded [tot, 32*W] code matrix, sorts/dedupes via a
+    fixed-width bytes view (memcmp == strcmp order because in-sequence
+    codes are nonzero and the pad byte 0 sorts below every code), and
+    derives RC twins with one gather. Returns None -- falling back to
+    the scalar path -- for inputs where padded-key comparison could
+    diverge from exact strcmp order (empty reads, or reads containing
+    the pad code 0 mid-sequence, i.e. junk bytes in the FASTA).
+    """
+    tot = len(raw_seqs)
+    lens_all = np.fromiter((len(s) for s in raw_seqs), count=tot,
+                           dtype=np.int64)
+    if tot == 0 or lens_all.min() == 0:
+        return None
+    flat = np.concatenate(raw_seqs)
+    if flat.dtype != np.uint8:
+        return None
+    if not xalpha:
+        flat = CHAR2NUM[flat]
+    if not flat.all():          # in-sequence pad code: exact path
+        return None
+    wpad = 32 * max(1, int(-(-lens_all.max() // 32)))
+    mat = np.zeros((tot, wpad), dtype=np.uint8)
+    mat[np.arange(wpad) < lens_all[:, None]] = flat
+    keys = np.ascontiguousarray(mat).view(f"S{wpad}").ravel()
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    newu = np.empty(tot, dtype=bool)
+    newu[0] = True
+    newu[1:] = ks[1:] != ks[:-1]
+    uniq_rows = np.nonzero(newu)[0]
+    num_uniq = len(uniq_rows)
+    offset = np.append(uniq_rows, tot).astype(np.int64)
+    heads_sorted = [headers[i] for i in order]
+    urows = order[uniq_rows]
+    lens = lens_all[urows]
+    umat = mat[urows]
+    req_id = np.float32(1.0) / np.float32(thres) - np.float32(1.0)
+    ed = np.minimum(254, (req_id * lens.astype(np.float32))
+                    .astype(np.int64)).astype(np.int64)
+    if do_rc:
+        rcm = RVT[umat[:, ::-1]]
+        live = np.arange(wpad) < lens[:, None]
+        idx = np.minimum(np.arange(wpad) + (wpad - lens[:, None]),
+                         wpad - 1)
+        rc_rows = np.where(live, np.take_along_axis(rcm, idx, axis=1), 0)
+        allmat = np.concatenate([umat, rc_rows])
+        six = np.concatenate([np.arange(num_uniq, dtype=np.int64)] * 2)
+        rc = np.zeros(2 * num_uniq, dtype=bool)
+        rc[num_uniq:] = True
+    else:
+        allmat = umat
+        six = np.arange(num_uniq, dtype=np.int64)
+        rc = np.zeros(num_uniq, dtype=bool)
+    rlens = lens[six]
+    seqs = [allmat[j, : rlens[j]] for j in range(len(six))]
+    qd = QueryData(
+        heads_sorted=heads_sorted, offset=offset, seqs=seqs,
+        six=six, rc=rc, lens=lens, ed=ed, num_uniq=num_uniq,
+        max_len=int(lens.max()), min_len=int(lens.min()),
+        xalpha=xalpha)
+    # engine._query_matrix cache: same padded layout by construction
+    qd._qmat = (allmat, rlens, np.maximum(1, -(-rlens // 32)))
+    return qd
 
 
 @dataclasses.dataclass
@@ -49,15 +118,13 @@ def process_queries(headers, raw_seqs, thres: float, do_rc: bool,
     if tot == 0:
         raise ValueError("ERROR: No queries found.")
     if not incl_whitespace:
-        out = []
-        for h in headers:
-            cut = len(h)
-            for i, b in enumerate(h):
-                if b == 0x20 or b == 0x09:
-                    cut = i
-                    break
-            out.append(h[:cut])
-        headers = out
+        # bytes.find runs at C speed; the sentinel append makes a miss
+        # return len(h) so min() picks the first cut point
+        headers = [h[:min((h + b" ").find(b" "),
+                          (h + b"\t").find(b"\t"))] for h in headers]
+    qd = _process_queries_vec(headers, raw_seqs, thres, do_rc, xalpha)
+    if qd is not None:
+        return qd
     seqs = [s if xalpha else translate(s) for s in raw_seqs]
     keys = [s.tobytes() for s in seqs]
     order = sorted(range(tot), key=lambda i: keys[i])  # strcmp order
@@ -101,10 +168,14 @@ def bin_queries_for_accel(qd: QueryData, k: int, z: int,
     n = len(qd.seqs)
     lens = qd.lens[qd.six].astype(np.int64)
     eds = qd.ed[qd.six].astype(np.int64)
-    m_pad = int(lens.max()) if n else 1
-    qmat = np.zeros((n, m_pad), dtype=np.uint8)
-    for j, s in enumerate(qd.seqs):
-        qmat[j, : len(s)] = s
+    cached = getattr(qd, "_qmat", None)
+    if cached is not None:
+        qmat, m_pad = cached[0], cached[0].shape[1]
+    else:
+        m_pad = int(lens.max()) if n else 1
+        qmat = np.zeros((n, m_pad), dtype=np.uint8)
+        for j, s in enumerate(qd.seqs):
+            qmat[j, : len(s)] = s
     # note: the reference increments totN only for codes > 4+Z but
     # demotes to the ambiguous bin for any code > 4 (burst.c:3113-3176)
     n_hard = (qmat > 4 + z).sum(axis=1)
@@ -121,9 +192,11 @@ def bin_queries_for_accel(qd: QueryData, k: int, z: int,
     qd.seqs = [qd.seqs[j] for j in order]
     qd.six = qd.six[order]
     qd.rc = qd.rc[order]
-    # row order changed: row-indexed caches built from the old order
-    # (query matrix, Peq planes, their device copies) are now stale
-    for attr in ("_qmat", "_peqcache", "_peqdev"):
+    # row order changed: reorder the query-matrix cache in place,
+    # drop the row-indexed Peq caches (rebuilt on demand)
+    if cached is not None:
+        qd._qmat = (qmat[order], cached[1][order], cached[2][order])
+    for attr in ("_peqcache", "_peqdev"):
         if hasattr(qd, attr):
             delattr(qd, attr)
     stat = stat[order]
