@@ -814,10 +814,17 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
     aqw = np.concatenate(aqw_parts) if aqw_parts else np.zeros(0, np.int64)
     aqm = np.concatenate(aqm_parts) if aqm_parts else np.zeros(0, np.int64)
     do_unit = not do_heur and rd_acc_unit_index(rd, acc)
-    res = scour_native(qmat, qlens_all, b0, b1, qbunch, k, aq_off, aqw,
-                       aqm, acc.csr, n_clumps, mm_bunch, mm_inner,
-                       u_csr=acc.u_csr if do_unit else None,
-                       tot_units=rd.tot_units, vecsz=VECSZ)
+    res = None
+    if do_unit and _use_device_scour():
+        res = _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k,
+                                 mm_bunch, mm_inner, qmat, qlens_all,
+                                 aq_off, aqw, aqm, n_clumps)
+    if res is None:
+        res = scour_native(qmat, qlens_all, b0, b1, qbunch, k, aq_off,
+                           aqw, aqm, acc.csr, n_clumps, mm_bunch,
+                           mm_inner,
+                           u_csr=acc.u_csr if do_unit else None,
+                           tot_units=rd.tot_units, vecsz=VECSZ)
     if res is None:
         return None
     kc, kh, bcnt, mflat, mcnt, ukeys = res
@@ -851,6 +858,128 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
         bad_clump[bad_arr] = True
         vis.bad_clump = bad_clump
     return vis
+
+
+def _use_device_scour() -> bool:
+    """Device scour policy: forced by BURST_TPU_DEV_SCOUR=1/0; defaults
+    to on when the default JAX backend is an accelerator."""
+    import os
+    v = os.environ.get("BURST_TPU_DEV_SCOUR")
+    if v is not None:
+        return v not in ("0", "", "off")
+    try:
+        import jax
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
+                       mm_inner, qmat, qlens_all, aq_off, aqw, aqm,
+                       n_clumps):
+    """Run the clear rows [b0, b1) through the device scour and merge
+    with a host scour of the ambiguous rows [0, b0). Returns the same
+    (bflat, bhits, bcnt, mflat, mcnt, ukeys) tuple as scour_native, or
+    None when preconditions fail (caller uses the host path).
+
+    The native walk and the device slot expansion produce identical hit
+    counts and candidate orderings (see kernels/scour_device docstring);
+    order parity additionally needs ascending clump-grouped unit
+    postings -- the same precondition as the native fast path.
+    """
+    from .kernels import scour_device
+    from .native import scour_native, _unit_ids_clump_grouped
+
+    if qbunch != 1 or b1 <= b0:
+        return None
+    if not _unit_ids_clump_grouped(acc.u_csr, VECSZ):
+        return None
+    tabs = scour_device.get_tables(acc)
+    if tabs is None:
+        return None
+    tot_units = rd.tot_units
+    nc = b1 - b0
+    lens_c = qlens_all[b0:b1]
+    mm_m = mm_bunch[b0:b1]             # qbunch == 1: bunch == member
+    mm_i = mm_inner[b0:b1]
+    try:
+        fetch = scour_device.scour_rows(
+            qmat[b0:b1], lens_c, k, mm_m, mm_i, tabs, n_clumps,
+            tot_units, defer=True)
+    except Exception:
+        return None
+    # ambiguous rows on the host while the device runs
+    if b0 > 0:
+        amb = scour_native(qmat, qlens_all, b0, b0, 1, k, aq_off, aqw,
+                           aqm, acc.csr, n_clumps, mm_bunch[:b0],
+                           mm_inner[:b0], u_csr=acc.u_csr,
+                           tot_units=tot_units, vecsz=VECSZ)
+        if amb is None:
+            return None
+    else:
+        z = np.zeros(0, np.int64)
+        amb = (z, z, z, z, z, z)
+    try:
+        dev = fetch()
+    except RuntimeError:
+        return None
+    ov = dev["ov"]
+    lj = dev["cj"]                     # local (0-based) clear row
+    lcl = dev["ccl"]
+    chits = dev["chits"]
+    cminw = dev["cminw"]
+    if ov.any():
+        # exact host re-scour of overflowing rows, spliced back in
+        rows = np.nonzero(ov)[0]
+        sub = np.ascontiguousarray(qmat[b0 + rows])
+        zb = np.zeros(1, np.int64)
+        sres = scour_native(sub, lens_c[rows], 0, len(rows), 1, k,
+                            np.zeros(len(rows) + 1, np.int64), zb, zb,
+                            acc.csr, n_clumps, mm_m[rows], mm_i[rows],
+                            u_csr=acc.u_csr, tot_units=tot_units,
+                            vecsz=VECSZ)
+        if sres is None:
+            return None
+        sbf, sbh, sbc, smf, smc, suk = sres
+        keep = ~ov[lj]
+        lj, lcl, chits, cminw = (lj[keep], lcl[keep], chits[keep],
+                                 cminw[keep])
+        # candidate tuples for re-scoured rows, in their (hits desc,
+        # touch asc) order; minw encodes the native rank so the final
+        # lexsort preserves it exactly
+        sj = np.repeat(rows.astype(np.int64), sbc)
+        srank = np.arange(len(sbf), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(sbc)[:-1])), sbc)
+        lj = np.concatenate([lj, sj])
+        lcl = np.concatenate([lcl, sbf])
+        chits = np.concatenate([chits, sbh])
+        cminw = np.concatenate([cminw, -(1 << 40) + srank])
+        # native sub-call keys are localrow*tot_units + u
+        suk_g = rows[suk // tot_units].astype(np.int64) * tot_units \
+            + suk % tot_units
+    # order candidates per row: hits desc, first-touch (min word) asc,
+    # clump asc -- identical to the native walk's insertion order
+    srt = np.lexsort((lcl, cminw, -chits, lj))
+    lj, lcl, chits = lj[srt], lcl[srt], chits[srt]
+    bcnt_c = np.bincount(lj, minlength=nc).astype(np.int64)
+    mkeep = chits > mm_i[lj]
+    mcnt_c = np.bincount(lj[mkeep], minlength=nc).astype(np.int64)
+    ukeys_c = dev["ukeys"] + np.int64(b0) * tot_units
+    if ov.any():
+        keepu = ~ov[dev["ukeys"] // tot_units]
+        ukeys_c = ukeys_c[keepu]
+        ukeys_c = np.sort(np.concatenate(
+            [ukeys_c, suk_g + np.int64(b0) * tot_units]))
+    abf, abh, abc, amf, amc, auk = amb
+    bflat = np.concatenate([abf, lcl])
+    bhits = np.concatenate([abh, chits])
+    bcnt = np.concatenate([abc, bcnt_c])
+    mflat = np.concatenate([amf, lcl[mkeep]])
+    mcnt = np.concatenate([amc, mcnt_c])
+    if auk is None:
+        auk = np.zeros(0, np.int64)
+    ukeys = np.concatenate([auk, ukeys_c])
+    return bflat, bhits, bcnt, mflat, mcnt, ukeys
 
 
 def rd_acc_unit_index(rd: RefData, acc) -> bool:

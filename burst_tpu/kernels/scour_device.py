@@ -1,0 +1,247 @@
+"""Device-side k-mer scour: the accelerator candidate scan as one jit.
+
+TPU-native re-expression of the reference's postScour walk
+(/root/reference/burst.c:3238-3285) and candidate selection
+(/root/reference/burst.c:4091-4136) for the single-member-bunch case
+(QBUNCH=1, clear queries): instead of the host walking per-word postings
+lists, every (query, k-mer-window) pair expands its unit postings into a
+fixed-width slot matrix, and one row sort + segmented scans recover
+
+* per-unit hit counts          (the sound per-unit pigeonhole filter),
+* per-clump hit counts         (distinct-word contributions, matching
+                                the native scour's transition walk),
+* per-clump first-touch key    (min hitting word value; candidate order
+                                is (hits desc, min-word asc, clump asc),
+                                identical to the reference's walk order
+                                because postings ascend within a word).
+
+Winners are compacted on device into fixed buffers so one host fetch
+returns everything. Rows whose postings exceed the slot budget are
+flagged and re-scoured on the host (exact same results, just slower).
+
+Preconditions (enforced by the caller in engine.accel_candidates):
+QBUNCH == 1, rows are clear (pure ACGT), the unit index exists with
+clump-grouped ascending postings, and the word span 4^k fits a dense
+rank table (k <= 13; k=15 keeps the native host path).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+VECSZ = 16
+DEAD = np.int32(2**31 - 1)   # sort sentinel (x64 is disabled in JAX)
+
+
+def _segmented_min(values, starts):
+    """Per-position running min since the last True in `starts` (axis 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    def op(a, b):
+        v1, s1 = a
+        v2, s2 = b
+        return (jnp.where(s2, v2, jnp.minimum(v1, v2)), s1 | s2)
+
+    out, _ = jax.lax.associative_scan(op, (values, starts), axis=1)
+    return out
+
+
+def _segmented_max(values, starts):
+    import jax
+    import jax.numpy as jnp
+
+    def op(a, b):
+        v1, s1 = a
+        v2, s2 = b
+        return (jnp.where(s2, v2, jnp.maximum(v1, v2)), s1 | s2)
+
+    out, _ = jax.lax.associative_scan(op, (values, starts), axis=1)
+    return out
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units"))
+def _scour_jit(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
+               k: int, E: int, CAPC: int, CAPU: int, n_clumps: int,
+               tot_units: int):
+    import jax.numpy as jnp
+    import jax
+
+    n, L = qmat.shape
+    T = L - k + 1
+    q = qmat.astype(jnp.int32) - 1
+    w = jnp.zeros((n, T), jnp.int32)
+    for i in range(k):                       # w_t = sum q[t+i] 4^(k-1-i)
+        w = w * 4 + q[:, i: i + T]           # k <= 13: fits int32
+    valid_t = jnp.arange(T)[None, :] <= (lens - k)[:, None]
+    r = rank[jnp.clip(w, 0, rank.shape[0] - 1)].astype(jnp.int32)
+    s = start[r]
+    c = jnp.where(valid_t, cnt[r], 0).astype(jnp.int32)
+    cum = jnp.cumsum(c, axis=1)
+    total = cum[:, -1]
+    ov = total > E
+
+    e = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None, :], (n, E))
+    te = jax.vmap(
+        lambda cr, ee: jnp.searchsorted(cr, ee, side="right"))(cum, e)
+    te = jnp.minimum(te, T - 1).astype(jnp.int32)
+    prev = jnp.where(
+        te > 0,
+        jnp.take_along_axis(cum, jnp.maximum(te - 1, 0), axis=1), 0)
+    live = e < jnp.minimum(total, E)[:, None]
+    pos = jnp.take_along_axis(s, te, axis=1) + (e - prev)
+    pos = jnp.where(live, pos, 0)
+    u = ids[pos].astype(jnp.int32)
+    wv = jnp.take_along_axis(w, te, axis=1)
+    cl = u // VECSZ
+    # first slot of each (window, clump) run in expansion order: the
+    # native walk adds the word weight once per clump transition
+    same = (te[:, 1:] == te[:, :-1]) & (cl[:, 1:] == cl[:, :-1])
+    mask_new = jnp.concatenate(
+        [jnp.ones((n, 1), bool), ~same], axis=1) & live
+
+    # lexicographic (unit, word*2|mask) sort; 64-bit packing is
+    # unavailable (x64 disabled), lax.sort multi-key is exact
+    key1 = jnp.where(live, u, DEAD)
+    key2 = jnp.where(live, (wv << 1) | mask_new, DEAD)
+    su, sk2 = jax.lax.sort((key1, key2), dimension=1, num_keys=2)
+    slive = su < DEAD
+    sw = sk2 >> 1
+    sm = sk2 & 1
+    scl = su // VECSZ
+    idx = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None, :], (n, E))
+
+    u_start = jnp.concatenate(
+        [jnp.ones((n, 1), bool), su[:, 1:] != su[:, :-1]], 1) & slive
+    u_end = jnp.concatenate(
+        [su[:, 1:] != su[:, :-1], jnp.ones((n, 1), bool)], 1) & slive
+    last_ustart = _segmented_max(jnp.where(u_start, idx, -1), u_start)
+    uh = idx - last_ustart + 1                        # run len at ends
+
+    cl_start = jnp.concatenate(
+        [jnp.ones((n, 1), bool), scl[:, 1:] != scl[:, :-1]], 1) & slive
+    cl_end = jnp.concatenate(
+        [scl[:, 1:] != scl[:, :-1], jnp.ones((n, 1), bool)], 1) & slive
+    last_cstart = jnp.maximum(
+        _segmented_max(jnp.where(cl_start, idx, -1), cl_start), 0)
+    cmask = jnp.cumsum(sm, axis=1)
+    hits_cl = cmask - jnp.take_along_axis(cmask, last_cstart, axis=1) \
+        + jnp.take_along_axis(sm, last_cstart, axis=1)
+    minw = _segmented_min(jnp.where(slive, sw, DEAD), cl_start)
+
+    okrow = ~ov[:, None]
+    cwin = cl_end & (hits_cl > mm_member[:, None]) & okrow
+    uwin = u_end & (uh > mm_inner[:, None]) & okrow
+
+    jrow = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, E))
+
+    def compact(mask, cols, cap):
+        """Scatter masked elements, in order, into fixed [cap] buffers."""
+        flat = mask.ravel()
+        tgt = jnp.where(flat, jnp.cumsum(flat) - 1, cap)
+        outs = [jnp.zeros((cap,), c.dtype).at[tgt].set(
+            jnp.where(flat, c.ravel(), 0), mode="drop") for c in cols]
+        return jnp.sum(flat.astype(jnp.int32)), outs
+
+    ccount, (cj, ccl, chits, cminw) = compact(
+        cwin, [jrow, scl, hits_cl, minw], CAPC)
+    ucount, (uj, uu) = compact(uwin, [jrow, su], CAPU)
+    return ov, ccount, cj, ccl, chits, cminw, ucount, uj, uu
+
+
+class ScourTables:
+    """Device-resident postings tables, built once per accelerator."""
+
+    def __init__(self, u_csr, span: int):
+        import jax.numpy as jnp
+        n_nz = len(u_csr.nzw)
+        rank = np.zeros(span, dtype=np.int32)
+        rank[u_csr.nzw] = np.arange(1, n_nz + 1, dtype=np.int32)
+        start = np.zeros(n_nz + 1, dtype=np.int32)
+        start[1:] = u_csr.start.astype(np.int32)
+        cnt = np.zeros(n_nz + 1, dtype=np.int32)
+        cnt[1:] = u_csr.cnt.astype(np.int32)
+        self.rank = jnp.asarray(rank)
+        self.start = jnp.asarray(start)
+        self.cnt = jnp.asarray(cnt)
+        self.ids = jnp.asarray(u_csr.ids.astype(np.int32))
+
+
+def get_tables(acc) -> "ScourTables | None":
+    """Cached device tables; None when the word span is too large for a
+    dense rank table (k > 13)."""
+    got = getattr(acc, "_dev_tables", None)
+    if got is not None:
+        return got
+    if acc.k > 13 or acc.u_csr is None:
+        return None
+    if len(acc.u_csr.ids) >= 2**31:      # int32 postings offsets
+        return None
+    span = 1 << (2 * acc.k)
+    tabs = ScourTables(acc.u_csr, span)
+    acc._dev_tables = tabs
+    return tabs
+
+
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(0, (int(x) - 1)).bit_length()
+
+
+def scour_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
+               mm_member: np.ndarray, mm_inner: np.ndarray,
+               tabs: ScourTables, n_clumps: int, tot_units: int,
+               E: int | None = None, defer: bool = False):
+    """Scour `n` clear rows on device.
+
+    Returns a `finish()` closure (defer=True) or its result: a dict with
+    `ov` [n] bool overflow flags, `ckey`/`chits`/`cminw` candidate
+    tuples (hits > mm_member, unordered), and `ukeys` passing unit keys
+    (ascending); candidate/unit buffers overflowing their caps raise
+    RuntimeError (caller falls back to the host scour).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if E is None:
+        E = int(os.environ.get("BURST_TPU_SCOUR_E", 256))
+    n = len(lens)
+    npad = max(1024, _pow2_ceil(n))
+    L = qmat.shape[1]
+    qp = np.zeros((npad, L), dtype=np.uint8)
+    qp[:n] = qmat
+    lp = np.zeros(npad, dtype=np.int32)
+    lp[:n] = lens
+    mmm = np.full(npad, DEAD, dtype=np.int32)     # pad rows: no winners
+    mmm[:n] = np.minimum(mm_member, DEAD - 1)
+    mmi = np.full(npad, DEAD, dtype=np.int32)
+    mmi[:n] = np.minimum(mm_inner, DEAD - 1)
+    capc = _pow2_ceil(max(4 * npad, 1 << 15))
+    capu = _pow2_ceil(max(4 * npad, 1 << 15))
+    res = _scour_jit(jnp.asarray(qp), jnp.asarray(lp), tabs.rank,
+                     tabs.start, tabs.cnt, tabs.ids, jnp.asarray(mmm),
+                     jnp.asarray(mmi), k=k, E=E, CAPC=capc, CAPU=capu,
+                     n_clumps=n_clumps, tot_units=tot_units)
+
+    def finish():
+        (ov, ccount, cj, ccl, chits, cminw, ucount, uj,
+         uu) = jax.device_get(res)
+        nc, nu = int(ccount), int(ucount)
+        if nc > capc or nu > capu:
+            raise RuntimeError("device scour buffer overflow")
+        return {
+            "ov": ov[:n],
+            "cj": cj[:nc].astype(np.int64),
+            "ccl": ccl[:nc].astype(np.int64),
+            "chits": chits[:nc].astype(np.int64),
+            "cminw": cminw[:nc].astype(np.int64),
+            "ukeys": uj[:nu].astype(np.int64) * tot_units
+            + uu[:nu].astype(np.int64),
+        }
+
+    return finish if defer else finish()

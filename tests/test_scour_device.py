@@ -1,0 +1,118 @@
+"""Device scour == native scour, end to end through accel_candidates.
+
+The device path (kernels/scour_device) must reproduce the native host
+scour bit-for-bit: same candidate clump lists in the same (hits desc,
+first-touch asc) order, same member expansion, and the same passing
+unit-key set -- including when per-row slot budgets overflow and rows
+are re-scoured on the host.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from burst_tpu import engine
+from burst_tpu.accel import build_accelerator
+
+from burst_tpu.process import (bin_queries_for_accel, process_queries,
+                               process_references)
+
+
+def _workload(seed=7, n_refs=30, ref_len=600, n_reads=400, k=12,
+              with_ambig=True):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    refs = [rng.choice(bases, size=ref_len) for _ in range(n_refs)]
+    rheads = [f"r{i:03d}".encode() for i in range(n_refs)]
+    reads, qheads = [], []
+    for i in range(n_reads):
+        s = refs[int(rng.integers(0, n_refs))]
+        st = int(rng.integers(0, ref_len - 100))
+        r = s[st:st + 100].copy()
+        for _ in range(int(rng.integers(0, 3))):
+            r[int(rng.integers(0, 100))] = bases[int(rng.integers(0, 4))]
+        if with_ambig and i % 37 == 0:
+            r[int(rng.integers(0, 100))] = ord("N")
+        reads.append(r)
+        qheads.append(f"q{i:05d}".encode())
+    rd = process_references(rheads, [r.copy() for r in refs],
+                            max_len_q=100, thres=0.98, rebase=True,
+                            rebase_amt=320, curate=2)
+    acc = build_accelerator(rd, k=k, z=1)
+    qd = process_queries(qheads, reads, 0.98, do_rc=False)
+    qbins = bin_queries_for_accel(qd, acc.k, 1)
+    return qd, rd, acc, qbins
+
+
+def _visits_with(qd, rd, acc, qbins, dev: bool):
+    os.environ["BURST_TPU_DEV_SCOUR"] = "1" if dev else "0"
+    try:
+        return engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
+    finally:
+        os.environ.pop("BURST_TPU_DEV_SCOUR", None)
+
+
+def _assert_visits_equal(a, b):
+    np.testing.assert_array_equal(a.offs, b.offs)
+    np.testing.assert_array_equal(a.flat, b.flat)
+    np.testing.assert_array_equal(a.full, b.full)
+    assert (a.pass_keys is None) == (b.pass_keys is None)
+    if a.pass_keys is not None:
+        np.testing.assert_array_equal(a.pass_keys, b.pass_keys)
+        np.testing.assert_array_equal(a.filtered, b.filtered)
+    np.testing.assert_array_equal(np.asarray(a.bflat),
+                                  np.asarray(b.bflat))
+    np.testing.assert_array_equal(a.boffs, b.boffs)
+
+
+def test_device_scour_matches_native():
+    qd, rd, acc, qbins = _workload()
+    ref = _visits_with(qd, rd, acc, qbins, dev=False)
+    got = _visits_with(qd, rd, acc, qbins, dev=True)
+    assert got.offs[-1] > 0          # nonempty workload
+    _assert_visits_equal(ref, got)
+
+
+@pytest.mark.parametrize("E", ["32", "96"])   # total / partial overflow
+def test_device_scour_overflow_fallback(E):
+    qd, rd, acc, qbins = _workload(seed=11)
+    ref = _visits_with(qd, rd, acc, qbins, dev=False)
+    os.environ["BURST_TPU_SCOUR_E"] = E
+    try:
+        got = _visits_with(qd, rd, acc, qbins, dev=True)
+    finally:
+        os.environ.pop("BURST_TPU_SCOUR_E", None)
+    _assert_visits_equal(ref, got)
+
+
+def test_device_scour_no_ambig():
+    qd, rd, acc, qbins = _workload(seed=3, with_ambig=False)
+    assert int(qbins[0]) == 0
+    ref = _visits_with(qd, rd, acc, qbins, dev=False)
+    got = _visits_with(qd, rd, acc, qbins, dev=True)
+    _assert_visits_equal(ref, got)
+
+
+def test_device_scour_end_to_end_b6():
+    """Full pipeline output identical under either scour."""
+    import io
+    from burst_tpu import modes
+    from burst_tpu.alphabet import score_matrix
+
+    qd0, rd, acc, _ = _workload(seed=5)
+    smat = score_matrix()
+
+    def run(dev):
+        qd, rd2, acc2, qbins = _workload(seed=5)
+        vis = _visits_with(qd, rd2, acc2, qbins, dev)
+        sed = engine.compute_ed_matrix_accel(qd, rd2, vis, smat)
+        juni, refpos, eds = engine.select_pods(qd, rd2, sed, "BEST")
+        order = engine.accel_pod_order(qd, rd2, vis, juni, refpos, eds)
+        cols = sed.lookup_cols(juni, refpos, rd2.tot_units)
+        pods = engine.rescore_winners(qd, rd2, juni, refpos, eds,
+                                      "BEST", smat, order, win_cols=cols)
+        buf = io.StringIO()
+        modes.report_best(pods, qd, rd2, modes.B6Writer(buf))
+        return buf.getvalue()
+
+    assert run(False) == run(True)
