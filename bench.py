@@ -56,10 +56,14 @@ def run_pipeline(qheads, reads, rd, acc, smat):
 
     qd = process_queries(qheads, reads, THRES, do_rc=False)
     qbins = bin_queries_for_accel(qd, acc.k, 1)
-    engine.prefetch_query_planes(qd, smat)   # async h2d during scour
-    visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
-    sed = engine.compute_ed_matrix_accel(qd, rd, visits, smat,
-                                         defer=True)
+    fused = engine.accel_scan_fused(qd, rd, acc, qbins, smat, qbunch=1)
+    if fused is not None:
+        visits, sed = fused
+    else:
+        engine.prefetch_query_planes(qd, smat)  # async h2d during scour
+        visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
+        sed = engine.compute_ed_matrix_accel(qd, rd, visits, smat,
+                                             defer=True)
     juni, refpos, eds = engine.select_pods(qd, rd, sed, "BEST")
     win_cols = sed.lookup_cols(juni, refpos, rd.tot_units)
     pods = engine.rescore_winners(qd, rd, juni, refpos, eds, "BEST",

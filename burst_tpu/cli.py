@@ -256,16 +256,28 @@ def run(a) -> int:
         from .process import bin_queries_for_accel
         acc = read_acx(a["accel"], z_required=a["z"])
         qbins = bin_queries_for_accel(qd, acc.k, a["z"], a["heur"])
-        engine.prefetch_query_planes(qd, smat)  # h2d overlaps the scour
-        visits = engine.accel_candidates(qd, rd, acc, qbins, a["heur"],
-                                         threads=a["threads"])
-        ph.mark("Accelerator scour")
-        if a["shards"] > 1:
-            from .parallel.mesh import compute_ed_matrix_accel_sharded
-            ed = compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
-                                                 a["shards"])
+        fused = None
+        if not a["heur"] and a["shards"] <= 1:
+            # one dispatch chain when the thread-derived QBUNCH is 1
+            fused = engine.accel_scan_fused(qd, rd, acc, qbins, smat,
+                                            threads=a["threads"])
+        if fused is not None:
+            visits, ed = fused
+            ph.mark("Accelerator scour")
         else:
-            ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat)
+            engine.prefetch_query_planes(qd, smat)  # h2d overlaps scour
+            visits = engine.accel_candidates(qd, rd, acc, qbins,
+                                             a["heur"],
+                                             threads=a["threads"])
+            ph.mark("Accelerator scour")
+            if a["shards"] > 1:
+                from .parallel.mesh import (
+                    compute_ed_matrix_accel_sharded)
+                ed = compute_ed_matrix_accel_sharded(qd, rd, visits,
+                                                     smat, a["shards"])
+            else:
+                ed = engine.compute_ed_matrix_accel(qd, rd, visits,
+                                                    smat)
     elif a["shards"] > 1:
         from .parallel.mesh import compute_ed_matrix_sharded
         ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])

@@ -790,29 +790,12 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
 
     if load_host() is None:
         return None
-    n = len(qd.seqs)
-    nb = len(bad_arr)
     qmat, qlens_all, _ = _query_matrix(qd)
-    # ambiguous unibins: per-query expanded unique words + multiplicity
-    aq_off = np.zeros(b0 + 1, np.int64)
-    aqw_parts, aqm_parts = [], []
-    has_words = False
-    for j in range(b0):
-        words = query_words(qd.seqs[j], k, acc.z, ambiguous=True)
-        if words.size:
-            uw_, um_ = np.unique(words, return_counts=True)
-            aqw_parts.append(uw_.astype(np.int64))
-            aqm_parts.append(um_.astype(np.int64))
-            aq_off[j + 1] = aq_off[j] + len(uw_)
-            has_words = True
-        else:
-            aq_off[j + 1] = aq_off[j]
+    aq_off, aqw, aqm, has_words = _ambig_word_lists(qd, b0, k, acc.z)
     if b1 > b0 and bool((qlens_all[b0:b1] >= k).any()):
         has_words = True
     if not has_words:
         return bad_only()
-    aqw = np.concatenate(aqw_parts) if aqw_parts else np.zeros(0, np.int64)
-    aqm = np.concatenate(aqm_parts) if aqm_parts else np.zeros(0, np.int64)
     do_unit = not do_heur and rd_acc_unit_index(rd, acc)
     res = None
     if do_unit and _use_device_scour():
@@ -827,6 +810,16 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
                            tot_units=rd.tot_units, vecsz=VECSZ)
     if res is None:
         return None
+    return _assemble_visits(qd, res, b0, b1, qbunch, bad_arr, full,
+                            n_clumps, do_unit)
+
+
+def _assemble_visits(qd, res, b0: int, b1: int, qbunch: int, bad_arr,
+                     full, n_clumps: int, do_unit: bool) -> "Visits":
+    """Visits CSR from a scour result tuple (shared by the native,
+    device, and fused paths)."""
+    n = len(qd.seqs)
+    nb = len(bad_arr)
     kc, kh, bcnt, mflat, mcnt, ukeys = res
 
     offs = np.zeros(n + 1, dtype=np.int64)
@@ -860,6 +853,30 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
     return vis
 
 
+def _ambig_word_lists(qd, b0: int, k: int, z: int):
+    """Ambiguous unibins' expanded unique words + multiplicities."""
+    from .accel import query_words
+
+    aq_off = np.zeros(b0 + 1, np.int64)
+    aqw_parts, aqm_parts = [], []
+    has_words = False
+    for j in range(b0):
+        words = query_words(qd.seqs[j], k, z, ambiguous=True)
+        if words.size:
+            uw_, um_ = np.unique(words, return_counts=True)
+            aqw_parts.append(uw_.astype(np.int64))
+            aqm_parts.append(um_.astype(np.int64))
+            aq_off[j + 1] = aq_off[j] + len(uw_)
+            has_words = True
+        else:
+            aq_off[j + 1] = aq_off[j]
+    aqw = np.concatenate(aqw_parts) if aqw_parts \
+        else np.zeros(0, np.int64)
+    aqm = np.concatenate(aqm_parts) if aqm_parts \
+        else np.zeros(0, np.int64)
+    return aq_off, aqw, aqm, has_words
+
+
 def _use_device_scour() -> bool:
     """Device scour policy: forced by BURST_TPU_DEV_SCOUR=1/0; defaults
     to on when the default JAX backend is an accelerator."""
@@ -876,11 +893,13 @@ def _use_device_scour() -> bool:
 
 def _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
                        mm_inner, qmat, qlens_all, aq_off, aqw, aqm,
-                       n_clumps):
+                       n_clumps, fused_ctx=None):
     """Run the clear rows [b0, b1) through the device scour and merge
     with a host scour of the ambiguous rows [0, b0). Returns the same
-    (bflat, bhits, bcnt, mflat, mcnt, ukeys) tuple as scour_native, or
-    None when preconditions fail (caller uses the host path).
+    (bflat, bhits, bcnt, mflat, mcnt, ukeys) tuple as scour_native --
+    with fused_ctx, a (tuple, pairinfo) pair where pairinfo carries the
+    clear rows' device-aligned pairs -- or None when preconditions fail
+    (caller uses the host path).
 
     The native walk and the device slot expansion produce identical hit
     counts and candidate orderings (see kernels/scour_device docstring);
@@ -903,9 +922,15 @@ def _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
     mm_m = mm_bunch[b0:b1]             # qbunch == 1: bunch == member
     mm_i = mm_inner[b0:b1]
     try:
-        fetch = scour_device.scour_rows(
-            qmat[b0:b1], lens_c, k, mm_m, mm_i, tabs, n_clumps,
-            tot_units, defer=True)
+        if fused_ctx is not None:
+            smat_dev, tiles_dev, W = fused_ctx
+            fetch = scour_device.scour_align_rows(
+                qmat[b0:b1], lens_c, k, mm_m, mm_i, tabs, n_clumps,
+                tot_units, smat_dev, tiles_dev, W)
+        else:
+            fetch = scour_device.scour_rows(
+                qmat[b0:b1], lens_c, k, mm_m, mm_i, tabs, n_clumps,
+                tot_units, defer=True)
     except Exception:
         return None
     # ambiguous rows on the host while the device runs
@@ -979,7 +1004,16 @@ def _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
     if auk is None:
         auk = np.zeros(0, np.int64)
     ukeys = np.concatenate([auk, ukeys_c])
-    return bflat, bhits, bcnt, mflat, mcnt, ukeys
+    res = (bflat, bhits, bcnt, mflat, mcnt, ukeys)
+    if fused_ctx is None:
+        return res
+    pairinfo = {
+        "uj": dev["uj"] + b0,          # global unibin rows
+        "uu": dev["uu"],
+        "packed": np.stack([dev["ped"], dev["pfirst"], dev["plast"]]),
+        "ov_rows": np.nonzero(ov)[0] + b0,
+    }
+    return res, pairinfo
 
 
 def rd_acc_unit_index(rd: RefData, acc) -> bool:
@@ -987,6 +1021,151 @@ def rd_acc_unit_index(rd: RefData, acc) -> bool:
     from .accel import build_unit_index
     build_unit_index(rd, acc)
     return acc.u_csr is not None
+
+
+def _smat_device(rd: RefData, smat: np.ndarray):
+    """Device copy of the 16x16 score table (cached per content)."""
+    import jax.numpy as jnp
+    cache = getattr(rd, "_smatdev", None)
+    if cache is None:
+        cache = {}
+        rd._smatdev = cache
+    key = smat.tobytes()
+    got = cache.get(key)
+    if got is None:
+        got = cache[key] = jnp.asarray(smat)
+    return got
+
+
+def _tiles_device_all(rd: RefData, pad: int = 32):
+    """Device tile matrix over ALL units: row = sorted position, width
+    = max unit length bucket + pad (cached). Shorter units get trailing
+    pad columns, which never lower a glocal minimum -- the per-bucket
+    matrices already rely on this within a bucket."""
+    import jax.numpy as jnp
+    got = getattr(rd, "_tilealldev", None)
+    if got is not None:
+        return got
+    lbmax = int(_unit_lb(rd).max()) if rd.tot_units else 64
+    npad = _pow2_ceil(max(1, rd.tot_units))
+    mat = np.zeros((npad, lbmax + pad), dtype=np.uint8)
+    for p in range(rd.tot_units):
+        s = rd.seqs[rd.ix_srt[p]]
+        mat[p, : len(s)] = s
+    got = rd._tilealldev = jnp.asarray(mat)
+    return got
+
+
+def accel_scan_fused(qd: QueryData, rd: RefData, acc,
+                     qbins: np.ndarray, smat: np.ndarray | None = None,
+                     qbunch: int | None = None, threads: int = 1):
+    """Fused accelerator scan: device scour + phase-A pair alignment in
+    ONE dispatch chain, one fetch. Returns (visits, sed) -- drop-in for
+    accel_candidates + compute_ed_matrix_accel(defer=True) -- or None
+    when preconditions fail (callers run the two-step path).
+
+    Preconditions: QBUNCH == 1 (the reference's many-thread regime,
+    burst.c:4019-4021), non-xalpha, a single tile length bucket, the
+    unit index with clump-grouped postings, and k <= 13. Ambiguous
+    rows, BadList clump units, device-overflow rows, and full-scan rows
+    are still evaluated through the host-dispatch path, overlapping the
+    device chain.
+    """
+    from .native import load_host, _unit_ids_clump_grouped
+
+    if not _use_device_scour() or getattr(qd, "xalpha", False):
+        return None
+    k = acc.k
+    n = len(qd.seqs)
+    b0, b1 = int(qbins[0]), int(qbins[1])
+    if qbunch is None:
+        qbunch = min(16, max(1, n // (max(1, threads) * 128)))
+    if qbunch != 1 or b1 <= b0:
+        return None
+    if load_host() is None or not rd_acc_unit_index(rd, acc):
+        return None
+    if not _unit_ids_clump_grouped(acc.u_csr, VECSZ):
+        return None
+    from .kernels import scour_device
+    tabs = scour_device.get_tables(acc)
+    if tabs is None:
+        return None
+    if smat is None:
+        smat = score_matrix()
+    tot_units = rd.tot_units
+    n_clumps = tot_units // VECSZ + (1 if tot_units % VECSZ else 0)
+    bad_arr = np.asarray(acc.bad, dtype=np.int64)
+    full = np.ones(n, dtype=bool)
+    full[:b1] = False
+    qmat, qlens_all, qw_all = _query_matrix(qd)
+    if not bool((qlens_all[b0:b1] >= k).any()):
+        return None                      # degenerate; two-step path
+    W = int(qw_all[:b1].max())
+    lns = qd.lens[qd.six[:b1]].astype(np.int64)
+    errs = qd.ed[qd.six[:b1]].astype(np.int64)
+    kload = errs * k + k
+    mm_bunch = np.where(kload < lns, lns - kload, 0)
+    mm_inner = np.where(kload < lns, lns - kload, 1)
+    aq_off, aqw, aqm, _ = _ambig_word_lists(qd, b0, k, acc.z)
+    smat_dev = _smat_device(rd, smat)
+    tiles_dev = _tiles_device_all(rd)
+    out = _scour_device_rows(
+        qd, rd, acc, b0, b1, 1, k, mm_bunch, mm_inner, qmat, qlens_all,
+        aq_off, aqw, aqm, n_clumps,
+        fused_ctx=(smat_dev, tiles_dev, W))
+    if out is None:
+        return None
+    res, pinfo = out
+    vis = _assemble_visits(qd, res, b0, b1, 1, bad_arr, full, n_clumps,
+                           True)
+
+    # host-dispatch pairs: ambiguous rows (every lane of their visit
+    # lists), BadList units for clear rows, and pass-units of rows the
+    # device overflowed (host re-scoured)
+    hp_j, hp_p = [], []
+    if b0:
+        nvis = vis.offs[1: b0 + 1] - vis.offs[:b0]
+        qrep = np.repeat(np.arange(b0, dtype=np.int64), nvis)
+        ps = (vis.flat[: vis.offs[b0], None] * VECSZ
+              + np.arange(VECSZ)).ravel()
+        pjj = np.repeat(qrep, VECSZ)
+        m = ps < tot_units
+        hp_j.append(pjj[m])
+        hp_p.append(ps[m])
+    if len(bad_arr):
+        units_b = (bad_arr[:, None] * VECSZ + np.arange(VECSZ)).ravel()
+        units_b = units_b[units_b < tot_units]
+        rows_c = np.arange(b0, b1, dtype=np.int64)
+        hp_j.append(np.repeat(rows_c, len(units_b)))
+        hp_p.append(np.tile(units_b, len(rows_c)))
+    if len(pinfo["ov_rows"]) and vis.pass_keys is not None:
+        rowk = vis.pass_keys // tot_units
+        inov = np.isin(rowk, pinfo["ov_rows"])
+        hp_j.append(rowk[inov])
+        hp_p.append(vis.pass_keys[inov] % tot_units)
+    pj_h = np.concatenate(hp_j) if hp_j else np.zeros(0, np.int64)
+    pp_h = np.concatenate(hp_p) if hp_p else np.zeros(0, np.int64)
+    pending = _pairs_min_ed(qd, rd, pj_h, pp_h, smat, defer=True) \
+        if len(pj_h) else []
+
+    full_rows = np.nonzero(vis.full)[0]
+    if len(full_rows):
+        sub = _subset_qd(qd, list(full_rows))
+        ed_full = compute_ed_matrix(sub, rd, smat)
+    else:
+        ed_full = np.zeros((0, tot_units), dtype=np.uint8)
+
+    pj = np.concatenate([pj_h, pinfo["uj"]])
+    pp = np.concatenate([pp_h, pinfo["uu"]])
+    # device results enter as a pre-resolved chunk (device_get on a
+    # numpy array is the identity)
+    nh = len(pj_h)
+    if len(pinfo["uj"]):
+        pending = list(pending) + [
+            (np.arange(nh, nh + len(pinfo["uj"])), pinfo["packed"])]
+    sed = SparseED(pj=pj, pp=pp, pe=None, full_rows=full_rows,
+                   ed_full=ed_full, pending=pending)
+    return vis, sed
 
 
 def compute_ed_matrix_accel(qd: QueryData, rd: RefData, visits: Visits,

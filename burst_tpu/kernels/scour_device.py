@@ -61,12 +61,9 @@ def _segmented_max(values, starts):
     return out
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units"))
-def _scour_jit(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
-               k: int, E: int, CAPC: int, CAPU: int, n_clumps: int,
-               tot_units: int):
+def _scour_core(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
+                k: int, E: int, CAPC: int, CAPU: int, n_clumps: int,
+                tot_units: int):
     import jax.numpy as jnp
     import jax
 
@@ -151,6 +148,59 @@ def _scour_jit(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
         cwin, [jrow, scl, hits_cl, minw], CAPC)
     ucount, (uj, uu) = compact(uwin, [jrow, su], CAPU)
     return ov, ccount, cj, ccl, chits, cminw, ucount, uj, uu
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units"))
+def _scour_jit(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
+               k: int, E: int, CAPC: int, CAPU: int, n_clumps: int,
+               tot_units: int):
+    return _scour_core(qmat, lens, rank, start, cnt, ids, mm_member,
+                       mm_inner, k, E, CAPC, CAPU, n_clumps, tot_units)
+
+
+def _build_peq_dev(qmat, lens, smat_dev, W: int):
+    """Device Peq planes: [n, 16, W] uint32, rows >= len are wildcards
+    (same semantics as kernels/myers.build_peq)."""
+    import jax.numpy as jnp
+    n = qmat.shape[0]
+    m_pad = 32 * W
+    q = qmat[:, :m_pad]
+    match = smat_dev[q.astype(jnp.int32)] == 0          # [n, m_pad, 16]
+    pad_row = jnp.arange(m_pad)[None, :] >= lens[:, None]
+    match = match | pad_row[:, :, None]
+    bits = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    mm = match.reshape(n, W, 32, 16).astype(jnp.uint32) \
+        * bits[None, None, :, None]
+    return mm.sum(axis=2, dtype=jnp.uint32).transpose(0, 2, 1)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units",
+                     "W"))
+def _scour_align_jit(qmat, lens, rank, start, cnt, ids, mm_member,
+                     mm_inner, smat_dev, tiles_dev,
+                     k: int, E: int, CAPC: int, CAPU: int,
+                     n_clumps: int, tot_units: int, W: int):
+    """Fused scour + phase-A Myers: winners go straight into the pair
+    kernel on device; one fetch returns candidates, unit winners, and
+    their packed (ed, first, last) results. tiles_dev holds ALL units
+    (row == sorted position) padded to one common width -- trailing pad
+    columns never lower the glocal minimum, so per-pair min EDs equal
+    the per-bucket scans'."""
+    import jax.numpy as jnp
+
+    from ..engine import _myers_pairs_dispatch
+
+    (ov, ccount, cj, ccl, chits, cminw, ucount, uj,
+     uu) = _scour_core(qmat, lens, rank, start, cnt, ids, mm_member,
+                       mm_inner, k, E, CAPC, CAPU, n_clumps, tot_units)
+    peq = _build_peq_dev(qmat, lens, smat_dev, W)
+    tidx = jnp.clip(uu, 0, tot_units - 1)
+    packed = _myers_pairs_dispatch(peq, tiles_dev, uj, tidx, W)
+    return ov, ccount, cj, ccl, chits, cminw, ucount, uj, uu, packed
 
 
 class ScourTables:
@@ -245,3 +295,65 @@ def scour_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
         }
 
     return finish if defer else finish()
+
+
+def scour_align_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
+                     mm_member: np.ndarray, mm_inner: np.ndarray,
+                     tabs: ScourTables, n_clumps: int, tot_units: int,
+                     smat_dev, tiles_dev, W: int,
+                     E: int | None = None):
+    """Fused scour + phase-A pair alignment for `n` clear rows.
+
+    Like scour_rows but the passing units are also aligned on device
+    (single tile length bucket; W = the rows' max word count). The
+    returned finish() additionally yields `uj`/`uu` pair arrays and
+    `ped`/`pfirst`/`plast` per-pair packed Myers results.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if E is None:
+        E = int(os.environ.get("BURST_TPU_SCOUR_E", 256))
+    n = len(lens)
+    npad = max(1024, _pow2_ceil(n))
+    L = qmat.shape[1]
+    qp = np.zeros((npad, L), dtype=np.uint8)
+    qp[:n] = qmat
+    lp = np.zeros(npad, dtype=np.int32)
+    lp[:n] = lens
+    mmm = np.full(npad, DEAD, dtype=np.int32)
+    mmm[:n] = np.minimum(mm_member, DEAD - 1)
+    mmi = np.full(npad, DEAD, dtype=np.int32)
+    mmi[:n] = np.minimum(mm_inner, DEAD - 1)
+    capc = _pow2_ceil(max(4 * npad, 1 << 15))
+    capu = _pow2_ceil(max(4 * npad, 1 << 15))
+    res = _scour_align_jit(
+        jnp.asarray(qp), jnp.asarray(lp), tabs.rank, tabs.start,
+        tabs.cnt, tabs.ids, jnp.asarray(mmm), jnp.asarray(mmi),
+        smat_dev, tiles_dev, k=k, E=E, CAPC=capc,
+        CAPU=capu, n_clumps=n_clumps, tot_units=tot_units, W=W)
+
+    def finish():
+        (ov, ccount, cj, ccl, chits, cminw, ucount, uj, uu,
+         packed) = jax.device_get(res)
+        nc, nu = int(ccount), int(ucount)
+        if nc > capc or nu > capu:
+            raise RuntimeError("device scour buffer overflow")
+        return {
+            "ov": ov[:n],
+            "cj": cj[:nc].astype(np.int64),
+            "ccl": ccl[:nc].astype(np.int64),
+            "chits": chits[:nc].astype(np.int64),
+            "cminw": cminw[:nc].astype(np.int64),
+            "ukeys": uj[:nu].astype(np.int64) * tot_units
+            + uu[:nu].astype(np.int64),
+            "uj": uj[:nu].astype(np.int64),
+            "uu": uu[:nu].astype(np.int64),
+            "ped": np.minimum(packed[0][:nu].astype(np.int64), 255),
+            "pfirst": packed[1][:nu].astype(np.int64),
+            "plast": packed[2][:nu].astype(np.int64),
+        }
+
+    return finish

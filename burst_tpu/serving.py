@@ -87,11 +87,20 @@ class Aligner:
         writer = modes.B6Writer(buf)
         if self.acc is not None:
             qbins = bin_queries_for_accel(qd, self.acc.k, self.z)
-            engine.prefetch_query_planes(qd, self.smat)
-            visits = engine.accel_candidates(qd, self.rd, self.acc,
-                                             qbins)
-            ed = engine.compute_ed_matrix_accel(qd, self.rd, visits,
-                                                self.smat, defer=True)
+            # BEST's reporter is pod-order-insensitive, so the QBUNCH=1
+            # fused device scan is byte-safe there; other modes keep
+            # the reference's thread-derived bunch width
+            fused = engine.accel_scan_fused(
+                qd, self.rd, self.acc, qbins, self.smat,
+                qbunch=1) if mode == "BEST" else None
+            if fused is not None:
+                visits, ed = fused
+            else:
+                engine.prefetch_query_planes(qd, self.smat)
+                visits = engine.accel_candidates(qd, self.rd, self.acc,
+                                                 qbins)
+                ed = engine.compute_ed_matrix_accel(
+                    qd, self.rd, visits, self.smat, defer=True)
         else:
             visits = None
             ed = engine.compute_ed_matrix(qd, self.rd, self.smat)

@@ -93,26 +93,89 @@ def test_device_scour_no_ambig():
     _assert_visits_equal(ref, got)
 
 
-def test_device_scour_end_to_end_b6():
-    """Full pipeline output identical under either scour."""
+def _fused_scan(qd, rd, acc, qbins):
+    from burst_tpu.alphabet import score_matrix
+    os.environ["BURST_TPU_DEV_SCOUR"] = "1"
+    try:
+        return engine.accel_scan_fused(qd, rd, acc, qbins,
+                                       score_matrix(), qbunch=1)
+    finally:
+        os.environ.pop("BURST_TPU_DEV_SCOUR", None)
+
+
+def test_fused_scan_matches_two_step():
+    from burst_tpu.alphabet import score_matrix
+
+    qd, rd, acc, qbins = _workload(seed=19)
+    smat = score_matrix()
+    ref_vis = _visits_with(qd, rd, acc, qbins, dev=False)
+    ref_sed = engine.compute_ed_matrix_accel(qd, rd, ref_vis, smat)
+    got = _fused_scan(qd, rd, acc, qbins)
+    assert got is not None
+    vis, sed = got
+    _assert_visits_equal(ref_vis, vis)
+    nj = len(qd.seqs)
+    ref_d = engine.densify(ref_sed, nj, rd.tot_units)
+    got_d = engine.densify(sed.materialize(), nj, rd.tot_units)
+    np.testing.assert_array_equal(ref_d, got_d)
+    # (first, last) best-column records may differ by trailing-pad
+    # ties (the fused path pads every unit to one common width); the
+    # windowed rescore stays exact either way -- checked by the
+    # end-to-end b6 test below.
+
+
+def test_fused_scan_overflow():
+    from burst_tpu.alphabet import score_matrix
+
+    qd, rd, acc, qbins = _workload(seed=23)
+    smat = score_matrix()
+    ref_vis = _visits_with(qd, rd, acc, qbins, dev=False)
+    ref_sed = engine.compute_ed_matrix_accel(qd, rd, ref_vis, smat)
+    os.environ["BURST_TPU_SCOUR_E"] = "96"
+    try:
+        got = _fused_scan(qd, rd, acc, qbins)
+    finally:
+        os.environ.pop("BURST_TPU_SCOUR_E", None)
+    assert got is not None
+    vis, sed = got
+    _assert_visits_equal(ref_vis, vis)
+    nj = len(qd.seqs)
+    np.testing.assert_array_equal(
+        engine.densify(ref_sed, nj, rd.tot_units),
+        engine.densify(sed.materialize(), nj, rd.tot_units))
+
+
+@pytest.mark.parametrize("mode", ["BEST", "ALLPATHS", "FORAGE"])
+def test_device_scour_end_to_end_b6(mode):
+    """Full pipeline output identical under host scour, device scour,
+    and the fused device scan."""
     import io
     from burst_tpu import modes
     from burst_tpu.alphabet import score_matrix
 
-    qd0, rd, acc, _ = _workload(seed=5)
     smat = score_matrix()
 
-    def run(dev):
+    def run(path):
         qd, rd2, acc2, qbins = _workload(seed=5)
-        vis = _visits_with(qd, rd2, acc2, qbins, dev)
-        sed = engine.compute_ed_matrix_accel(qd, rd2, vis, smat)
-        juni, refpos, eds = engine.select_pods(qd, rd2, sed, "BEST")
+        if path == "fused":
+            vis, sed = _fused_scan(qd, rd2, acc2, qbins)
+        else:
+            vis = _visits_with(qd, rd2, acc2, qbins, path == "dev")
+            sed = engine.compute_ed_matrix_accel(qd, rd2, vis, smat)
+        juni, refpos, eds = engine.select_pods(qd, rd2, sed, mode)
         order = engine.accel_pod_order(qd, rd2, vis, juni, refpos, eds)
         cols = sed.lookup_cols(juni, refpos, rd2.tot_units)
         pods = engine.rescore_winners(qd, rd2, juni, refpos, eds,
-                                      "BEST", smat, order, win_cols=cols)
+                                      mode, smat, order, win_cols=cols)
         buf = io.StringIO()
-        modes.report_best(pods, qd, rd2, modes.B6Writer(buf))
+        if mode == "BEST":
+            modes.report_best(pods, qd, rd2, modes.B6Writer(buf))
+        else:
+            modes.report_allpaths_or_forage(
+                pods, qd, rd2, modes.B6Writer(buf), None,
+                forage=(mode == "FORAGE"))
         return buf.getvalue()
 
-    assert run(False) == run(True)
+    host = run("host")
+    assert host == run("dev")
+    assert host == run("fused")
