@@ -923,10 +923,13 @@ def _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
     mm_i = mm_inner[b0:b1]
     try:
         if fused_ctx is not None:
-            smat_dev, tiles_dev, W = fused_ctx
+            smat_np, smat_dev, tiles_dev, W = fused_ctx
             fetch = scour_device.scour_align_rows(
                 qmat[b0:b1], lens_c, k, mm_m, mm_i, tabs, n_clumps,
                 tot_units, smat_dev, tiles_dev, W)
+            # phase B rescores winners with host-built Peq planes;
+            # start that upload now so it rides behind the scan
+            prefetch_query_planes(qd, smat_np)
         else:
             fetch = scour_device.scour_rows(
                 qmat[b0:b1], lens_c, k, mm_m, mm_i, tabs, n_clumps,
@@ -1112,7 +1115,7 @@ def accel_scan_fused(qd: QueryData, rd: RefData, acc,
     out = _scour_device_rows(
         qd, rd, acc, b0, b1, 1, k, mm_bunch, mm_inner, qmat, qlens_all,
         aq_off, aqw, aqm, n_clumps,
-        fused_ctx=(smat_dev, tiles_dev, W))
+        fused_ctx=(smat, smat_dev, tiles_dev, W))
     if out is None:
         return None
     res, pinfo = out

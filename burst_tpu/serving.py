@@ -74,6 +74,28 @@ class Aligner:
         heads = [f"w{i}".encode() for i in range(n)]
         self.align_batch(heads, seqs)
 
+    def align_stream(self, batches, depth: int = 2):
+        """Pipelined serving: align an iterable of (headers, seqs)
+        batches, yielding each batch's blast6 bytes in order.
+
+        Up to `depth` batches are in flight on worker threads, so one
+        batch's host-side work (parsing, scour fallbacks, b6 emission)
+        overlaps another's device scans and fetch round-trips -- the
+        device-wait portions release the GIL. Batches are independent
+        (per-batch dedupe scope), exactly as repeated align_batch
+        calls."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, depth)) as ex:
+            live = collections.deque()
+            for batch in batches:
+                live.append(ex.submit(self.align_batch, *batch))
+                while len(live) > depth:
+                    yield live.popleft().result()
+            while live:
+                yield live.popleft().result()
+
     def align_batch(self, headers: list[bytes],
                     seqs: list[np.ndarray]) -> bytes:
         """Align one batch of translated-or-raw reads; blast6 bytes.

@@ -179,3 +179,22 @@ def test_device_scour_end_to_end_b6(mode):
     host = run("host")
     assert host == run("dev")
     assert host == run("fused")
+
+
+def test_align_stream_matches_batches():
+    """Pipelined streaming yields the same bytes, in order."""
+    from burst_tpu.serving import Aligner
+
+    qd, rd, acc, _ = _workload(seed=29)
+    del qd
+    rng = np.random.default_rng(1)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    batches = []
+    for b in range(3):
+        seqs = [rng.choice(bases, size=100) for _ in range(60)]
+        heads = [f"b{b}q{i}".encode() for i in range(60)]
+        batches.append((heads, seqs))
+    al = Aligner(rd, acc, thres=0.98, mode="BEST", do_rc=False)
+    seq_out = [al.align_batch(h, s) for h, s in batches]
+    stream_out = list(al.align_stream(batches))
+    assert stream_out == seq_out
