@@ -20,9 +20,9 @@ returns everything. Rows whose postings exceed the slot budget are
 flagged and re-scoured on the host (exact same results, just slower).
 
 Preconditions (enforced by the caller in engine.accel_candidates):
-QBUNCH == 1, rows are clear (pure ACGT), the unit index exists with
-clump-grouped ascending postings, and the word span 4^k fits a dense
-rank table (k <= 13; k=15 keeps the native host path).
+QBUNCH == 1, rows are clear (pure ACGT), and the unit index exists
+with clump-grouped ascending postings. Word lookup uses a dense rank
+table up to k=13 and on-device binary search for k=14/15.
 """
 from __future__ import annotations
 
@@ -61,9 +61,9 @@ def _segmented_max(values, starts):
     return out
 
 
-def _scour_core(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
-                k: int, E: int, CAPC: int, CAPU: int, n_clumps: int,
-                tot_units: int):
+def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
+                mm_inner, k: int, E: int, CAPC: int, CAPU: int,
+                n_clumps: int, tot_units: int):
     import jax.numpy as jnp
     import jax
 
@@ -71,10 +71,15 @@ def _scour_core(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
     T = L - k + 1
     q = qmat.astype(jnp.int32) - 1
     w = jnp.zeros((n, T), jnp.int32)
-    for i in range(k):                       # w_t = sum q[t+i] 4^(k-1-i)
-        w = w * 4 + q[:, i: i + T]           # k <= 13: fits int32
+    for i in range(k):                       # w_t = sum q[t+i] 4(k-1-i)
+        w = w * 4 + q[:, i: i + T]           # k <= 15: fits int32
     valid_t = jnp.arange(T)[None, :] <= (lens - k)[:, None]
-    r = rank[jnp.clip(w, 0, rank.shape[0] - 1)].astype(jnp.int32)
+    if nzw is None:                          # dense rank table (k<=13)
+        r = rank[jnp.clip(w, 0, rank.shape[0] - 1)].astype(jnp.int32)
+    else:                                    # binary search (k=14/15)
+        loc = jnp.searchsorted(nzw, w).astype(jnp.int32)
+        locc = jnp.minimum(loc, nzw.shape[0] - 1)
+        r = jnp.where(nzw[locc] == w, locc + 1, 0)
     s = start[r]
     c = jnp.where(valid_t, cnt[r], 0).astype(jnp.int32)
     cum = jnp.cumsum(c, axis=1)
@@ -153,11 +158,12 @@ def _scour_core(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units"))
-def _scour_jit(qmat, lens, rank, start, cnt, ids, mm_member, mm_inner,
-               k: int, E: int, CAPC: int, CAPU: int, n_clumps: int,
-               tot_units: int):
-    return _scour_core(qmat, lens, rank, start, cnt, ids, mm_member,
-                       mm_inner, k, E, CAPC, CAPU, n_clumps, tot_units)
+def _scour_jit(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
+               mm_inner, k: int, E: int, CAPC: int, CAPU: int,
+               n_clumps: int, tot_units: int):
+    return _scour_core(qmat, lens, rank, nzw, start, cnt, ids,
+                       mm_member, mm_inner, k, E, CAPC, CAPU, n_clumps,
+                       tot_units)
 
 
 def _build_peq_dev(qmat, lens, smat_dev, W: int):
@@ -180,8 +186,8 @@ def _build_peq_dev(qmat, lens, smat_dev, W: int):
     __import__("jax").jit,
     static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units",
                      "W"))
-def _scour_align_jit(qmat, lens, rank, start, cnt, ids, mm_member,
-                     mm_inner, smat_dev, tiles_dev,
+def _scour_align_jit(qmat, lens, rank, nzw, start, cnt, ids,
+                     mm_member, mm_inner, smat_dev, tiles_dev,
                      k: int, E: int, CAPC: int, CAPU: int,
                      n_clumps: int, tot_units: int, W: int):
     """Fused scour + phase-A Myers: winners go straight into the pair
@@ -195,8 +201,9 @@ def _scour_align_jit(qmat, lens, rank, start, cnt, ids, mm_member,
     from ..engine import _myers_pairs_dispatch
 
     (ov, ccount, cj, ccl, chits, cminw, ucount, uj,
-     uu) = _scour_core(qmat, lens, rank, start, cnt, ids, mm_member,
-                       mm_inner, k, E, CAPC, CAPU, n_clumps, tot_units)
+     uu) = _scour_core(qmat, lens, rank, nzw, start, cnt, ids,
+                       mm_member, mm_inner, k, E, CAPC, CAPU,
+                       n_clumps, tot_units)
     peq = _build_peq_dev(qmat, lens, smat_dev, W)
     tidx = jnp.clip(uu, 0, tot_units - 1)
     packed = _myers_pairs_dispatch(peq, tiles_dev, uj, tidx, W)
@@ -204,35 +211,43 @@ def _scour_align_jit(qmat, lens, rank, start, cnt, ids, mm_member,
 
 
 class ScourTables:
-    """Device-resident postings tables, built once per accelerator."""
+    """Device-resident postings tables, built once per accelerator.
 
-    def __init__(self, u_csr, span: int):
+    k <= 13: dense word->rank table (one gather per window). k = 14/15
+    (4^k too large to materialize): sorted nonzero words, looked up by
+    binary search on device; words up to 4^15 fit int32."""
+
+    def __init__(self, u_csr, span: int, dense: bool):
         import jax.numpy as jnp
         n_nz = len(u_csr.nzw)
-        rank = np.zeros(span, dtype=np.int32)
-        rank[u_csr.nzw] = np.arange(1, n_nz + 1, dtype=np.int32)
+        if dense:
+            rank = np.zeros(span, dtype=np.int32)
+            rank[u_csr.nzw] = np.arange(1, n_nz + 1, dtype=np.int32)
+            self.rank = jnp.asarray(rank)
+            self.nzw = None
+        else:
+            self.rank = jnp.zeros(1, jnp.int32)   # unused placeholder
+            self.nzw = jnp.asarray(u_csr.nzw.astype(np.int32))
         start = np.zeros(n_nz + 1, dtype=np.int32)
         start[1:] = u_csr.start.astype(np.int32)
         cnt = np.zeros(n_nz + 1, dtype=np.int32)
         cnt[1:] = u_csr.cnt.astype(np.int32)
-        self.rank = jnp.asarray(rank)
         self.start = jnp.asarray(start)
         self.cnt = jnp.asarray(cnt)
         self.ids = jnp.asarray(u_csr.ids.astype(np.int32))
 
 
 def get_tables(acc) -> "ScourTables | None":
-    """Cached device tables; None when the word span is too large for a
-    dense rank table (k > 13)."""
+    """Cached device tables; None when the index shape is unsupported."""
     got = getattr(acc, "_dev_tables", None)
     if got is not None:
         return got
-    if acc.k > 13 or acc.u_csr is None:
+    if acc.k > 15 or acc.u_csr is None:
         return None
     if len(acc.u_csr.ids) >= 2**31:      # int32 postings offsets
         return None
     span = 1 << (2 * acc.k)
-    tabs = ScourTables(acc.u_csr, span)
+    tabs = ScourTables(acc.u_csr, span, dense=acc.k <= 13)
     acc._dev_tables = tabs
     return tabs
 
@@ -274,9 +289,10 @@ def scour_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
     capc = _pow2_ceil(max(4 * npad, 1 << 15))
     capu = _pow2_ceil(max(4 * npad, 1 << 15))
     res = _scour_jit(jnp.asarray(qp), jnp.asarray(lp), tabs.rank,
-                     tabs.start, tabs.cnt, tabs.ids, jnp.asarray(mmm),
-                     jnp.asarray(mmi), k=k, E=E, CAPC=capc, CAPU=capu,
-                     n_clumps=n_clumps, tot_units=tot_units)
+                     tabs.nzw, tabs.start, tabs.cnt, tabs.ids,
+                     jnp.asarray(mmm), jnp.asarray(mmi), k=k, E=E,
+                     CAPC=capc, CAPU=capu, n_clumps=n_clumps,
+                     tot_units=tot_units)
 
     def finish():
         (ov, ccount, cj, ccl, chits, cminw, ucount, uj,
@@ -330,9 +346,9 @@ def scour_align_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
     capc = _pow2_ceil(max(4 * npad, 1 << 15))
     capu = _pow2_ceil(max(4 * npad, 1 << 15))
     res = _scour_align_jit(
-        jnp.asarray(qp), jnp.asarray(lp), tabs.rank, tabs.start,
-        tabs.cnt, tabs.ids, jnp.asarray(mmm), jnp.asarray(mmi),
-        smat_dev, tiles_dev, k=k, E=E, CAPC=capc,
+        jnp.asarray(qp), jnp.asarray(lp), tabs.rank, tabs.nzw,
+        tabs.start, tabs.cnt, tabs.ids, jnp.asarray(mmm),
+        jnp.asarray(mmi), smat_dev, tiles_dev, k=k, E=E, CAPC=capc,
         CAPU=capu, n_clumps=n_clumps, tot_units=tot_units, W=W)
 
     def finish():

@@ -85,6 +85,15 @@ def test_device_scour_overflow_fallback(E):
     _assert_visits_equal(ref, got)
 
 
+def test_device_scour_k15_searchsorted():
+    """k=15 has no dense rank table; binary-search lookup must agree."""
+    qd, rd, acc, qbins = _workload(seed=13, k=15, n_reads=150)
+    ref = _visits_with(qd, rd, acc, qbins, dev=False)
+    got = _visits_with(qd, rd, acc, qbins, dev=True)
+    assert got.offs[-1] > 0
+    _assert_visits_equal(ref, got)
+
+
 def test_device_scour_no_ambig():
     qd, rd, acc, qbins = _workload(seed=3, with_ambig=False)
     assert int(qbins[0]) == 0
