@@ -256,59 +256,117 @@ def _pow2_ceil(x: int) -> int:
     return 1 << max(0, (int(x) - 1)).bit_length()
 
 
+CHUNK_ROWS = 4096   # fixed jit shape: one compile, any batch size
+
+
+def _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
+                    n_clumps, tot_units, E, align_ctx):
+    """Dispatch the scour (or fused scour+align) jit over fixed-size
+    row chunks; returns [(c0, rows_in_chunk, device_result), ...].
+
+    Fixed CHUNK_ROWS shapes mean the kernels compile once per (L, W)
+    rather than per batch-size power of two, and each chunk's winner
+    caps stay small. All chunks are dispatched before any fetch."""
+    import jax.numpy as jnp
+
+    n = len(lens)
+    L = qmat.shape[1]
+    capc = capu = 4 * CHUNK_ROWS
+    out = []
+    for c0 in range(0, max(n, 1), CHUNK_ROWS):
+        nr = min(CHUNK_ROWS, n - c0)
+        qp = np.zeros((CHUNK_ROWS, L), dtype=np.uint8)
+        qp[:nr] = qmat[c0:c0 + nr]
+        lp = np.zeros(CHUNK_ROWS, dtype=np.int32)
+        lp[:nr] = lens[c0:c0 + nr]
+        mmm = np.full(CHUNK_ROWS, DEAD, dtype=np.int32)
+        mmm[:nr] = np.minimum(mm_member[c0:c0 + nr], DEAD - 1)
+        mmi = np.full(CHUNK_ROWS, DEAD, dtype=np.int32)
+        mmi[:nr] = np.minimum(mm_inner[c0:c0 + nr], DEAD - 1)
+        if align_ctx is None:
+            res = _scour_jit(
+                jnp.asarray(qp), jnp.asarray(lp), tabs.rank, tabs.nzw,
+                tabs.start, tabs.cnt, tabs.ids, jnp.asarray(mmm),
+                jnp.asarray(mmi), k=k, E=E, CAPC=capc, CAPU=capu,
+                n_clumps=n_clumps, tot_units=tot_units)
+        else:
+            smat_dev, tiles_dev, W = align_ctx
+            res = _scour_align_jit(
+                jnp.asarray(qp), jnp.asarray(lp), tabs.rank, tabs.nzw,
+                tabs.start, tabs.cnt, tabs.ids, jnp.asarray(mmm),
+                jnp.asarray(mmi), smat_dev, tiles_dev, k=k, E=E,
+                CAPC=capc, CAPU=capu, n_clumps=n_clumps,
+                tot_units=tot_units, W=W)
+        out.append((c0, nr, res))
+    return out
+
+
+def _chunk_finish(chunks, n, tot_units, aligned: bool):
+    """One device_get over every chunk, merged to global row indices."""
+    import jax
+
+    capc = capu = 4 * CHUNK_ROWS
+    fetched = jax.device_get([r for _, _, r in chunks])
+    ov = np.zeros(n, dtype=bool)
+    parts = {key: [] for key in
+             ("cj", "ccl", "chits", "cminw", "ukeys", "uj", "uu",
+              "ped", "pfirst", "plast")}
+    for (c0, nr, _), h in zip(chunks, fetched):
+        if aligned:
+            (ovc, ccount, cj, ccl, chits, cminw, ucount, uj, uu,
+             packed) = h
+        else:
+            (ovc, ccount, cj, ccl, chits, cminw, ucount, uj, uu) = h
+            packed = None
+        nc, nu = int(ccount), int(ucount)
+        if nc > capc or nu > capu:
+            raise RuntimeError("device scour buffer overflow")
+        ov[c0:c0 + nr] = ovc[:nr]
+        parts["cj"].append(cj[:nc].astype(np.int64) + c0)
+        parts["ccl"].append(ccl[:nc].astype(np.int64))
+        parts["chits"].append(chits[:nc].astype(np.int64))
+        parts["cminw"].append(cminw[:nc].astype(np.int64))
+        parts["ukeys"].append(
+            (uj[:nu].astype(np.int64) + c0) * tot_units
+            + uu[:nu].astype(np.int64))
+        if aligned:
+            parts["uj"].append(uj[:nu].astype(np.int64) + c0)
+            parts["uu"].append(uu[:nu].astype(np.int64))
+            parts["ped"].append(
+                np.minimum(packed[0][:nu].astype(np.int64), 255))
+            parts["pfirst"].append(packed[1][:nu].astype(np.int64))
+            parts["plast"].append(packed[2][:nu].astype(np.int64))
+    out = {"ov": ov}
+    keys = ("cj", "ccl", "chits", "cminw", "ukeys") + (
+        ("uj", "uu", "ped", "pfirst", "plast") if aligned else ())
+    for key in keys:
+        out[key] = np.concatenate(parts[key]) if parts[key] \
+            else np.zeros(0, np.int64)
+    return out
+
+
 def scour_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
                mm_member: np.ndarray, mm_inner: np.ndarray,
                tabs: ScourTables, n_clumps: int, tot_units: int,
                E: int | None = None, defer: bool = False):
-    """Scour `n` clear rows on device.
+    """Scour `n` clear rows on device (fixed-size row chunks).
 
     Returns a `finish()` closure (defer=True) or its result: a dict with
-    `ov` [n] bool overflow flags, `ckey`/`chits`/`cminw` candidate
+    `ov` [n] bool overflow flags, `cj`/`ccl`/`chits`/`cminw` candidate
     tuples (hits > mm_member, unordered), and `ukeys` passing unit keys
-    (ascending); candidate/unit buffers overflowing their caps raise
-    RuntimeError (caller falls back to the host scour).
+    (ascending); per-chunk winner buffers overflowing raise RuntimeError
+    (caller falls back to the host scour).
     """
     import os
-
-    import jax
-    import jax.numpy as jnp
 
     if E is None:
         E = int(os.environ.get("BURST_TPU_SCOUR_E", 256))
     n = len(lens)
-    npad = max(1024, _pow2_ceil(n))
-    L = qmat.shape[1]
-    qp = np.zeros((npad, L), dtype=np.uint8)
-    qp[:n] = qmat
-    lp = np.zeros(npad, dtype=np.int32)
-    lp[:n] = lens
-    mmm = np.full(npad, DEAD, dtype=np.int32)     # pad rows: no winners
-    mmm[:n] = np.minimum(mm_member, DEAD - 1)
-    mmi = np.full(npad, DEAD, dtype=np.int32)
-    mmi[:n] = np.minimum(mm_inner, DEAD - 1)
-    capc = _pow2_ceil(max(4 * npad, 1 << 15))
-    capu = _pow2_ceil(max(4 * npad, 1 << 15))
-    res = _scour_jit(jnp.asarray(qp), jnp.asarray(lp), tabs.rank,
-                     tabs.nzw, tabs.start, tabs.cnt, tabs.ids,
-                     jnp.asarray(mmm), jnp.asarray(mmi), k=k, E=E,
-                     CAPC=capc, CAPU=capu, n_clumps=n_clumps,
-                     tot_units=tot_units)
+    chunks = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
+                             n_clumps, tot_units, E, None)
 
     def finish():
-        (ov, ccount, cj, ccl, chits, cminw, ucount, uj,
-         uu) = jax.device_get(res)
-        nc, nu = int(ccount), int(ucount)
-        if nc > capc or nu > capu:
-            raise RuntimeError("device scour buffer overflow")
-        return {
-            "ov": ov[:n],
-            "cj": cj[:nc].astype(np.int64),
-            "ccl": ccl[:nc].astype(np.int64),
-            "chits": chits[:nc].astype(np.int64),
-            "cminw": cminw[:nc].astype(np.int64),
-            "ukeys": uj[:nu].astype(np.int64) * tot_units
-            + uu[:nu].astype(np.int64),
-        }
+        return _chunk_finish(chunks, n, tot_units, aligned=False)
 
     return finish if defer else finish()
 
@@ -320,56 +378,20 @@ def scour_align_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
                      E: int | None = None):
     """Fused scour + phase-A pair alignment for `n` clear rows.
 
-    Like scour_rows but the passing units are also aligned on device
-    (single tile length bucket; W = the rows' max word count). The
-    returned finish() additionally yields `uj`/`uu` pair arrays and
+    Like scour_rows but the passing units are also aligned on device;
+    the returned finish() additionally yields `uj`/`uu` pair arrays and
     `ped`/`pfirst`/`plast` per-pair packed Myers results.
     """
     import os
 
-    import jax
-    import jax.numpy as jnp
-
     if E is None:
         E = int(os.environ.get("BURST_TPU_SCOUR_E", 256))
     n = len(lens)
-    npad = max(1024, _pow2_ceil(n))
-    L = qmat.shape[1]
-    qp = np.zeros((npad, L), dtype=np.uint8)
-    qp[:n] = qmat
-    lp = np.zeros(npad, dtype=np.int32)
-    lp[:n] = lens
-    mmm = np.full(npad, DEAD, dtype=np.int32)
-    mmm[:n] = np.minimum(mm_member, DEAD - 1)
-    mmi = np.full(npad, DEAD, dtype=np.int32)
-    mmi[:n] = np.minimum(mm_inner, DEAD - 1)
-    capc = _pow2_ceil(max(4 * npad, 1 << 15))
-    capu = _pow2_ceil(max(4 * npad, 1 << 15))
-    res = _scour_align_jit(
-        jnp.asarray(qp), jnp.asarray(lp), tabs.rank, tabs.nzw,
-        tabs.start, tabs.cnt, tabs.ids, jnp.asarray(mmm),
-        jnp.asarray(mmi), smat_dev, tiles_dev, k=k, E=E, CAPC=capc,
-        CAPU=capu, n_clumps=n_clumps, tot_units=tot_units, W=W)
+    chunks = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
+                             n_clumps, tot_units, E,
+                             (smat_dev, tiles_dev, W))
 
     def finish():
-        (ov, ccount, cj, ccl, chits, cminw, ucount, uj, uu,
-         packed) = jax.device_get(res)
-        nc, nu = int(ccount), int(ucount)
-        if nc > capc or nu > capu:
-            raise RuntimeError("device scour buffer overflow")
-        return {
-            "ov": ov[:n],
-            "cj": cj[:nc].astype(np.int64),
-            "ccl": ccl[:nc].astype(np.int64),
-            "chits": chits[:nc].astype(np.int64),
-            "cminw": cminw[:nc].astype(np.int64),
-            "ukeys": uj[:nu].astype(np.int64) * tot_units
-            + uu[:nu].astype(np.int64),
-            "uj": uj[:nu].astype(np.int64),
-            "uu": uu[:nu].astype(np.int64),
-            "ped": np.minimum(packed[0][:nu].astype(np.int64), 255),
-            "pfirst": packed[1][:nu].astype(np.int64),
-            "plast": packed[2][:nu].astype(np.int64),
-        }
+        return _chunk_finish(chunks, n, tot_units, aligned=True)
 
     return finish
