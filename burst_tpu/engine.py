@@ -785,7 +785,6 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
     """C++/OpenMP scour path (native/burst_host.cpp): same semantics as
     the numpy pass in accel_candidates, several times faster. Returns
     None when the native library is unavailable (numpy path runs)."""
-    from .accel import query_words
     from .native import load_host, scour_native
 
     if load_host() is None:
@@ -1074,8 +1073,12 @@ def accel_scan_fused(qd: QueryData, rd: RefData, acc,
     are still evaluated through the host-dispatch path, overlapping the
     device chain.
     """
+    import os
+
     from .native import load_host, _unit_ids_clump_grouped
 
+    if os.environ.get("BURST_TPU_FUSED", "1") in ("0", "", "off"):
+        return None
     if not _use_device_scour() or getattr(qd, "xalpha", False):
         return None
     k = acc.k

@@ -142,8 +142,26 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, E))
 
     def compact(mask, cols, cap):
-        """Scatter masked elements, in order, into fixed [cap] buffers."""
+        """Masked elements, in order, in fixed [cap] buffers.
+
+        Two lowerings (BURST_TPU_COMPACT, trace-time): 'sort' (default)
+        orders a position key with the columns as sort payloads --
+        winners keep their flat position, losers get M and sink to the
+        tail; 'scatter' writes through a cumsum target index. Both are
+        exact; sort avoids XLA:TPU's serialized big-scatter lowering."""
+        import os
         flat = mask.ravel()
+        M = flat.shape[0]
+        if os.environ.get("BURST_TPU_COMPACT", "sort") == "sort":
+            key = jnp.where(flat, jnp.arange(M, dtype=jnp.int32),
+                            jnp.int32(M))
+            srt = jax.lax.sort(
+                (key,) + tuple(c.ravel() for c in cols), dimension=0,
+                num_keys=1)
+            count = jnp.sum(flat.astype(jnp.int32))
+            live = jnp.arange(cap, dtype=jnp.int32) < count
+            outs = [jnp.where(live, o[:cap], 0) for o in srt[1:]]
+            return count, outs
         tgt = jnp.where(flat, jnp.cumsum(flat) - 1, cap)
         outs = [jnp.zeros((cap,), c.dtype).at[tgt].set(
             jnp.where(flat, c.ravel(), 0), mode="drop") for c in cols]
