@@ -87,17 +87,30 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
     ov = total > E
 
     e = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None, :], (n, E))
-    te = jax.vmap(
-        lambda cr, ee: jnp.searchsorted(cr, ee, side="right"))(cum, e)
-    te = jnp.minimum(te, T - 1).astype(jnp.int32)
-    prev = jnp.where(
-        te > 0,
-        jnp.take_along_axis(cum, jnp.maximum(te - 1, 0), axis=1), 0)
+    # slot -> window mapping in ONE unrolled sweep over the T windows:
+    # te[j,e] = #{t : cum[j,t] <= e} (the owning window), prev = the
+    # owning window's preceding cumsum, ws/wv = its postings start and
+    # word value. A batched searchsorted plus take_along_axis gathers
+    # lowers to serialized dynamic gathers on TPU (~70ms per chunk);
+    # T fused compare/select passes over [n, E] vregs are an order of
+    # magnitude cheaper.
+    te = jnp.zeros((n, E), jnp.int32)
+    prev = jnp.zeros((n, E), jnp.int32)
+    ws = jnp.zeros((n, E), jnp.int32)
+    wv = jnp.zeros((n, E), jnp.int32)
+    c0 = jnp.zeros((n, 1), jnp.int32)
+    for t in range(T):
+        ct = cum[:, t][:, None]
+        inside = ct <= e
+        te += inside
+        prev = jnp.where(inside, ct, prev)
+        hit = (c0 <= e) & (e < ct)      # slot owned by window t
+        ws = jnp.where(hit, s[:, t][:, None], ws)
+        wv = jnp.where(hit, w[:, t][:, None], wv)
+        c0 = ct
     live = e < jnp.minimum(total, E)[:, None]
-    pos = jnp.take_along_axis(s, te, axis=1) + (e - prev)
-    pos = jnp.where(live, pos, 0)
+    pos = jnp.where(live, ws + (e - prev), 0)
     u = ids[pos].astype(jnp.int32)
-    wv = jnp.take_along_axis(w, te, axis=1)
     cl = u // VECSZ
     # first slot of each (window, clump) run in expansion order: the
     # native walk adds the word weight once per clump transition
@@ -120,18 +133,22 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
         [jnp.ones((n, 1), bool), su[:, 1:] != su[:, :-1]], 1) & slive
     u_end = jnp.concatenate(
         [su[:, 1:] != su[:, :-1], jnp.ones((n, 1), bool)], 1) & slive
-    last_ustart = _segmented_max(jnp.where(u_start, idx, -1), u_start)
+    # "last run start at or before me" is a plain running max of the
+    # start positions (single-operand cummax beats the tuple scan)
+    last_ustart = jax.lax.cummax(jnp.where(u_start, idx, -1), axis=1)
     uh = idx - last_ustart + 1                        # run len at ends
 
     cl_start = jnp.concatenate(
         [jnp.ones((n, 1), bool), scl[:, 1:] != scl[:, :-1]], 1) & slive
     cl_end = jnp.concatenate(
         [scl[:, 1:] != scl[:, :-1], jnp.ones((n, 1), bool)], 1) & slive
-    last_cstart = jnp.maximum(
-        _segmented_max(jnp.where(cl_start, idx, -1), cl_start), 0)
+    # run hit total at the run end = cmask[end] - cmask[start - 1];
+    # cmask is nondecreasing, so the run-start baseline propagates as a
+    # running max of (cmask - sm) sampled at starts -- no gathers
     cmask = jnp.cumsum(sm, axis=1)
-    hits_cl = cmask - jnp.take_along_axis(cmask, last_cstart, axis=1) \
-        + jnp.take_along_axis(sm, last_cstart, axis=1)
+    zstart = jax.lax.cummax(
+        jnp.where(cl_start, cmask - sm, -1), axis=1)
+    hits_cl = cmask - zstart
     minw = _segmented_min(jnp.where(slive, sw, DEAD), cl_start)
 
     okrow = ~ov[:, None]
