@@ -572,7 +572,8 @@ class SparseED:
 
 def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
                      do_heur: bool = False, threads: int = 1,
-                     qbunch: int | None = None) -> Visits:
+                     qbunch: int | None = None,
+                     dev_scour: bool | None = None) -> Visits:
     """Build per-unibin candidate visit lists (vectorized host pass).
 
     The reference scans QBUNCH unibins per task (burst.c:4018-4021,
@@ -622,7 +623,7 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
     if b1:
         vis = _accel_candidates_native(
             qd, rd, acc, b0, b1, qbunch, k, mm_bunch, mm_inner, do_heur,
-            bad_arr, full, n_clumps, _bad_only)
+            bad_arr, full, n_clumps, _bad_only, dev_scour)
         if vis is not None:
             return vis
 
@@ -781,7 +782,8 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
 def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
                              b1: int, qbunch: int, k: int,
                              mm_bunch, mm_inner, do_heur: bool,
-                             bad_arr, full, n_clumps: int, bad_only):
+                             bad_arr, full, n_clumps: int, bad_only,
+                             dev_scour: bool | None = None):
     """C++/OpenMP scour path (native/burst_host.cpp): same semantics as
     the numpy pass in accel_candidates, several times faster. Returns
     None when the native library is unavailable (numpy path runs)."""
@@ -797,7 +799,7 @@ def _accel_candidates_native(qd: QueryData, rd: RefData, acc, b0: int,
         return bad_only()
     do_unit = not do_heur and rd_acc_unit_index(rd, acc)
     res = None
-    if do_unit and _use_device_scour():
+    if do_unit and _use_device_scour(dev_scour):
         res = _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k,
                                  mm_bunch, mm_inner, qmat, qlens_all,
                                  aq_off, aqw, aqm, n_clumps)
@@ -876,10 +878,13 @@ def _ambig_word_lists(qd, b0: int, k: int, z: int):
     return aq_off, aqw, aqm, has_words
 
 
-def _use_device_scour() -> bool:
-    """Device scour policy: forced by BURST_TPU_DEV_SCOUR=1/0; defaults
-    to on when the default JAX backend is an accelerator."""
+def _use_device_scour(override: bool | None = None) -> bool:
+    """Device scour policy: per-call override wins, then
+    BURST_TPU_DEV_SCOUR=1/0, then on iff the default JAX backend is an
+    accelerator."""
     import os
+    if override is not None:
+        return override
     v = os.environ.get("BURST_TPU_DEV_SCOUR")
     if v is not None:
         return v not in ("0", "", "off")
@@ -1060,7 +1065,8 @@ def _tiles_device_all(rd: RefData, pad: int = 32):
 
 def accel_scan_fused(qd: QueryData, rd: RefData, acc,
                      qbins: np.ndarray, smat: np.ndarray | None = None,
-                     qbunch: int | None = None, threads: int = 1):
+                     qbunch: int | None = None, threads: int = 1,
+                     dev_scour: bool | None = None):
     """Fused accelerator scan: device scour + phase-A pair alignment in
     ONE dispatch chain, one fetch. Returns (visits, sed) -- drop-in for
     accel_candidates + compute_ed_matrix_accel(defer=True) -- or None
@@ -1079,7 +1085,7 @@ def accel_scan_fused(qd: QueryData, rd: RefData, acc,
 
     if os.environ.get("BURST_TPU_FUSED", "1") in ("0", "", "off"):
         return None
-    if not _use_device_scour() or getattr(qd, "xalpha", False):
+    if not _use_device_scour(dev_scour) or getattr(qd, "xalpha", False):
         return None
     k = acc.k
     n = len(qd.seqs)

@@ -74,7 +74,8 @@ class Aligner:
         heads = [f"w{i}".encode() for i in range(n)]
         self.align_batch(heads, seqs)
 
-    def align_stream(self, batches, depth: int = 2):
+    def align_stream(self, batches, depth: int = 2,
+                     alternate: bool = False):
         """Pipelined serving: align an iterable of (headers, seqs)
         batches, yielding each batch's blast6 bytes in order.
 
@@ -83,25 +84,36 @@ class Aligner:
         overlaps another's device scans and fetch round-trips -- the
         device-wait portions release the GIL. Batches are independent
         (per-batch dedupe scope), exactly as repeated align_batch
-        calls."""
+        calls.
+
+        alternate=True routes every other batch through the host
+        (native C++) scour instead of the device scour: host and device
+        scans of different batches then run concurrently, raising
+        aggregate throughput when one CPU core must feed one chip.
+        Outputs are byte-identical either way."""
         import collections
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=max(1, depth)) as ex:
             live = collections.deque()
-            for batch in batches:
-                live.append(ex.submit(self.align_batch, *batch))
+            for i, batch in enumerate(batches):
+                dev = (i % 2 == 0) if alternate else None
+                live.append(ex.submit(self.align_batch, *batch,
+                                      dev_scour=dev))
                 while len(live) > depth:
                     yield live.popleft().result()
             while live:
                 yield live.popleft().result()
 
     def align_batch(self, headers: list[bytes],
-                    seqs: list[np.ndarray]) -> bytes:
+                    seqs: list[np.ndarray],
+                    dev_scour: bool | None = None) -> bytes:
         """Align one batch of translated-or-raw reads; blast6 bytes.
 
         `seqs` may be raw ASCII uint8 arrays (translated internally) or
-        pre-translated 4-bit code arrays (values < 16).
+        pre-translated 4-bit code arrays (values < 16). `dev_scour`
+        overrides the device-scour policy for this batch (see
+        align_stream's alternate mode).
         """
         qd = process_queries(headers, seqs, self.thres, self.do_rc)
         mode = self.mode
@@ -113,14 +125,14 @@ class Aligner:
             # fused device scan is byte-safe there; other modes keep
             # the reference's thread-derived bunch width
             fused = engine.accel_scan_fused(
-                qd, self.rd, self.acc, qbins, self.smat,
-                qbunch=1) if mode == "BEST" else None
+                qd, self.rd, self.acc, qbins, self.smat, qbunch=1,
+                dev_scour=dev_scour) if mode == "BEST" else None
             if fused is not None:
                 visits, ed = fused
             else:
                 engine.prefetch_query_planes(qd, self.smat)
-                visits = engine.accel_candidates(qd, self.rd, self.acc,
-                                                 qbins)
+                visits = engine.accel_candidates(
+                    qd, self.rd, self.acc, qbins, dev_scour=dev_scour)
                 ed = engine.compute_ed_matrix_accel(
                     qd, self.rd, visits, self.smat, defer=True)
         else:

@@ -207,3 +207,25 @@ def test_align_stream_matches_batches():
     seq_out = [al.align_batch(h, s) for h, s in batches]
     stream_out = list(al.align_stream(batches))
     assert stream_out == seq_out
+
+
+def test_align_stream_alternate_matches():
+    """Alternating host/device scour across the stream: same bytes."""
+    from burst_tpu.serving import Aligner
+
+    _, rd, acc, _ = _workload(seed=31)
+    rng = np.random.default_rng(2)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    batches = []
+    for b in range(4):
+        seqs = [rng.choice(bases, size=100) for _ in range(50)]
+        heads = [f"b{b}q{i}".encode() for i in range(50)]
+        batches.append((heads, seqs))
+    al = Aligner(rd, acc, thres=0.98, mode="BEST", do_rc=False)
+    os.environ["BURST_TPU_DEV_SCOUR"] = "1"   # device available on CPU
+    try:
+        seq_out = [al.align_batch(h, s) for h, s in batches]
+        alt_out = list(al.align_stream(batches, alternate=True))
+    finally:
+        os.environ.pop("BURST_TPU_DEV_SCOUR", None)
+    assert alt_out == seq_out
