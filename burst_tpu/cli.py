@@ -19,6 +19,28 @@ from .io.taxonomy import Taxonomy
 from .process import process_queries, process_references
 
 
+def _enable_compile_cache():
+    """Persist compiled XLA programs across CLI invocations.
+
+    The device kernels take seconds to minutes to compile; one-shot
+    CLI runs would pay that every time. BURST_TPU_COMPILE_CACHE=0
+    disables, or points at an alternate directory."""
+    want = os.environ.get("BURST_TPU_COMPILE_CACHE", "1")
+    if want in ("0", "", "off"):
+        return
+    path = want if want not in ("1", "on") else \
+        os.path.join(os.path.expanduser("~"), ".cache", "burst_tpu_xla")
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+
 def _usage():
     print("burst_tpu aligner -- TPU-native BURST-compatible aligner")
     print("usage: burst_tpu -r refs.fa -q reads.fa -o out.b6 [options]")
@@ -334,6 +356,7 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv
     if len(argv) < 2:
         _usage()
+    _enable_compile_cache()
     a = parse_args(argv)
     if not a["out"] or not a["ref"] and not a["makedb"]:
         print("ERROR: missing required arguments")

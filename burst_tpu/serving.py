@@ -28,6 +28,8 @@ class Aligner:
                  taxonomy: Taxonomy | None = None, z: int = 1,
                  taxacut: int = 10, taxasuppress: bool = False,
                  strict: bool = False):
+        from .cli import _enable_compile_cache
+        _enable_compile_cache()
         self.rd = rd
         self.acc = acc
         self.thres = thres
