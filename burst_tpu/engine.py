@@ -1044,22 +1044,30 @@ def _smat_device(rd: RefData, smat: np.ndarray):
     return got
 
 
+_TILES_ALL_LOCK = __import__("threading").Lock()
+
+
 def _tiles_device_all(rd: RefData, pad: int = 32):
     """Device tile matrix over ALL units: row = sorted position, width
-    = max unit length bucket + pad (cached). Shorter units get trailing
+    = max unit length bucket + pad (cached; locked against streaming
+    worker threads racing the first build). Shorter units get trailing
     pad columns, which never lower a glocal minimum -- the per-bucket
     matrices already rely on this within a bucket."""
     import jax.numpy as jnp
     got = getattr(rd, "_tilealldev", None)
     if got is not None:
         return got
-    lbmax = int(_unit_lb(rd).max()) if rd.tot_units else 64
-    npad = _pow2_ceil(max(1, rd.tot_units))
-    mat = np.zeros((npad, lbmax + pad), dtype=np.uint8)
-    for p in range(rd.tot_units):
-        s = rd.seqs[rd.ix_srt[p]]
-        mat[p, : len(s)] = s
-    got = rd._tilealldev = jnp.asarray(mat)
+    with _TILES_ALL_LOCK:
+        got = getattr(rd, "_tilealldev", None)
+        if got is not None:
+            return got
+        lbmax = int(_unit_lb(rd).max()) if rd.tot_units else 64
+        npad = _pow2_ceil(max(1, rd.tot_units))
+        mat = np.zeros((npad, lbmax + pad), dtype=np.uint8)
+        for p in range(rd.tot_units):
+            s = rd.seqs[rd.ix_srt[p]]
+            mat[p, : len(s)] = s
+        got = rd._tilealldev = jnp.asarray(mat)
     return got
 
 

@@ -272,8 +272,12 @@ class ScourTables:
         self.ids = jnp.asarray(u_csr.ids.astype(np.int32))
 
 
+_TABLES_LOCK = __import__("threading").Lock()
+
+
 def get_tables(acc) -> "ScourTables | None":
-    """Cached device tables; None when the index shape is unsupported."""
+    """Cached device tables; None when the index shape is unsupported.
+    Locked: streaming worker threads may race the first build."""
     got = getattr(acc, "_dev_tables", None)
     if got is not None:
         return got
@@ -281,9 +285,13 @@ def get_tables(acc) -> "ScourTables | None":
         return None
     if len(acc.u_csr.ids) >= 2**31:      # int32 postings offsets
         return None
-    span = 1 << (2 * acc.k)
-    tabs = ScourTables(acc.u_csr, span, dense=acc.k <= 13)
-    acc._dev_tables = tabs
+    with _TABLES_LOCK:
+        got = getattr(acc, "_dev_tables", None)
+        if got is not None:
+            return got
+        span = 1 << (2 * acc.k)
+        tabs = ScourTables(acc.u_csr, span, dense=acc.k <= 13)
+        acc._dev_tables = tabs
     return tabs
 
 
