@@ -299,11 +299,13 @@ def _pow2_ceil(x: int) -> int:
     return 1 << max(0, (int(x) - 1)).bit_length()
 
 
-CHUNK_ROWS = 4096   # fixed jit shape: one compile, any batch size
+CHUNK_ROWS = int(__import__("os").environ.get(
+    "BURST_TPU_SCOUR_CHUNK", 4096))   # fixed jit shape: one compile
 
 
 def _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
                     n_clumps, tot_units, E, align_ctx):
+    # CHUNK_ROWS is read once at import; keep local for consistency
     """Dispatch the scour (or fused scour+align) jit over fixed-size
     row chunks; returns [(c0, rows_in_chunk, device_result), ...].
 
