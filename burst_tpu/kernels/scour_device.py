@@ -193,9 +193,16 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units"))
-def _scour_jit(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
-               mm_inner, k: int, E: int, CAPC: int, CAPU: int,
+def _scour_jit(qmat_full, lens_full, mm_m_full, mm_i_full, off,
+               rank, nzw, start, cnt, ids,
+               k: int, E: int, CAPC: int, CAPU: int,
                n_clumps: int, tot_units: int):
+    import jax
+    C = CHUNK_ROWS
+    qmat = jax.lax.dynamic_slice_in_dim(qmat_full, off, C, 0)
+    lens = jax.lax.dynamic_slice_in_dim(lens_full, off, C, 0)
+    mm_member = jax.lax.dynamic_slice_in_dim(mm_m_full, off, C, 0)
+    mm_inner = jax.lax.dynamic_slice_in_dim(mm_i_full, off, C, 0)
     return _scour_core(qmat, lens, rank, nzw, start, cnt, ids,
                        mm_member, mm_inner, k, E, CAPC, CAPU, n_clumps,
                        tot_units)
@@ -221,20 +228,28 @@ def _build_peq_dev(qmat, lens, smat_dev, W: int):
     __import__("jax").jit,
     static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units",
                      "W"))
-def _scour_align_jit(qmat, lens, rank, nzw, start, cnt, ids,
-                     mm_member, mm_inner, smat_dev, tiles_dev,
+def _scour_align_jit(qmat_full, lens_full, mm_m_full, mm_i_full,
+                     off, rank, nzw, start, cnt, ids, smat_dev,
+                     tiles_dev,
                      k: int, E: int, CAPC: int, CAPU: int,
                      n_clumps: int, tot_units: int, W: int):
     """Fused scour + phase-A Myers: winners go straight into the pair
     kernel on device; one fetch returns candidates, unit winners, and
-    their packed (ed, first, last) results. tiles_dev holds ALL units
-    (row == sorted position) padded to one common width -- trailing pad
-    columns never lower the glocal minimum, so per-pair min EDs equal
-    the per-bucket scans'."""
+    their packed (ed, first, last) results. The chunk slices out of the
+    whole-batch arrays on device (one upload, one compile per padded
+    batch shape). tiles_dev holds ALL units (row == sorted position)
+    padded to one common width -- trailing pad columns never lower the
+    glocal minimum, so per-pair min EDs equal the per-bucket scans'."""
+    import jax
     import jax.numpy as jnp
 
     from ..engine import _myers_pairs_dispatch
 
+    C = CHUNK_ROWS
+    qmat = jax.lax.dynamic_slice_in_dim(qmat_full, off, C, 0)
+    lens = jax.lax.dynamic_slice_in_dim(lens_full, off, C, 0)
+    mm_member = jax.lax.dynamic_slice_in_dim(mm_m_full, off, C, 0)
+    mm_inner = jax.lax.dynamic_slice_in_dim(mm_i_full, off, C, 0)
     (ov, ccount, cj, ccl, chits, cminw, ucount, uj,
      uu) = _scour_core(qmat, lens, rank, nzw, start, cnt, ids,
                        mm_member, mm_inner, k, E, CAPC, CAPU,
@@ -242,6 +257,11 @@ def _scour_align_jit(qmat, lens, rank, nzw, start, cnt, ids,
     peq = _build_peq_dev(qmat, lens, smat_dev, W)
     tidx = jnp.clip(uu, 0, tot_units - 1)
     packed = _myers_pairs_dispatch(peq, tiles_dev, uj, tidx, W)
+    if tiles_dev.shape[1] < 2047:
+        # (ed, first, last) fit 8+11+11 bits: one fetch word per pair
+        pk = (jnp.minimum(packed[0], 255) << 22) | \
+            (packed[1] << 11) | packed[2]
+        return (ov, ccount, cj, ccl, chits, cminw, ucount, uj, uu, pk)
     return ov, ccount, cj, ccl, chits, cminw, ucount, uj, uu, packed
 
 
@@ -304,53 +324,61 @@ CHUNK_ROWS = int(__import__("os").environ.get(
 
 
 def _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
-                    n_clumps, tot_units, E, align_ctx):
-    # CHUNK_ROWS is read once at import; keep local for consistency
+                    n_clumps, tot_units, E, align_ctx,
+                    cap_factor: int = 2):
     """Dispatch the scour (or fused scour+align) jit over fixed-size
     row chunks; returns [(c0, rows_in_chunk, device_result), ...].
 
-    Fixed CHUNK_ROWS shapes mean the kernels compile once per (L, W)
-    rather than per batch-size power of two, and each chunk's winner
-    caps stay small. All chunks are dispatched before any fetch."""
+    The whole batch pads to a CHUNK_ROWS multiple and uploads once;
+    each chunk slices out on device with a dynamic offset, so the
+    kernel compiles once per padded batch shape and the transfer
+    pipelines ahead of the first chunk's compute."""
     import jax.numpy as jnp
 
     n = len(lens)
     L = qmat.shape[1]
-    capc = capu = 4 * CHUNK_ROWS
+    C = CHUNK_ROWS
+    npad = max(C, -(-n // C) * C)
+    capc = capu = cap_factor * C
+    qp = np.zeros((npad, L), dtype=np.uint8)
+    qp[:n] = qmat
+    lp = np.zeros(npad, dtype=np.int32)
+    lp[:n] = lens
+    mmm = np.full(npad, DEAD, dtype=np.int32)
+    mmm[:n] = np.minimum(mm_member, DEAD - 1)
+    mmi = np.full(npad, DEAD, dtype=np.int32)
+    mmi[:n] = np.minimum(mm_inner, DEAD - 1)
+    qp_d = jnp.asarray(qp)
+    lp_d = jnp.asarray(lp)
+    mmm_d = jnp.asarray(mmm)
+    mmi_d = jnp.asarray(mmi)
     out = []
-    for c0 in range(0, max(n, 1), CHUNK_ROWS):
-        nr = min(CHUNK_ROWS, n - c0)
-        qp = np.zeros((CHUNK_ROWS, L), dtype=np.uint8)
-        qp[:nr] = qmat[c0:c0 + nr]
-        lp = np.zeros(CHUNK_ROWS, dtype=np.int32)
-        lp[:nr] = lens[c0:c0 + nr]
-        mmm = np.full(CHUNK_ROWS, DEAD, dtype=np.int32)
-        mmm[:nr] = np.minimum(mm_member[c0:c0 + nr], DEAD - 1)
-        mmi = np.full(CHUNK_ROWS, DEAD, dtype=np.int32)
-        mmi[:nr] = np.minimum(mm_inner[c0:c0 + nr], DEAD - 1)
+    for c0 in range(0, npad, C):
+        nr = min(C, max(0, n - c0))
         if align_ctx is None:
             res = _scour_jit(
-                jnp.asarray(qp), jnp.asarray(lp), tabs.rank, tabs.nzw,
-                tabs.start, tabs.cnt, tabs.ids, jnp.asarray(mmm),
-                jnp.asarray(mmi), k=k, E=E, CAPC=capc, CAPU=capu,
-                n_clumps=n_clumps, tot_units=tot_units)
+                qp_d, lp_d, mmm_d, mmi_d, jnp.int32(c0), tabs.rank,
+                tabs.nzw, tabs.start, tabs.cnt, tabs.ids, k=k, E=E,
+                CAPC=capc, CAPU=capu, n_clumps=n_clumps,
+                tot_units=tot_units)
         else:
             smat_dev, tiles_dev, W = align_ctx
             res = _scour_align_jit(
-                jnp.asarray(qp), jnp.asarray(lp), tabs.rank, tabs.nzw,
-                tabs.start, tabs.cnt, tabs.ids, jnp.asarray(mmm),
-                jnp.asarray(mmi), smat_dev, tiles_dev, k=k, E=E,
-                CAPC=capc, CAPU=capu, n_clumps=n_clumps,
-                tot_units=tot_units, W=W)
+                qp_d, lp_d, mmm_d, mmi_d, jnp.int32(c0), tabs.rank,
+                tabs.nzw, tabs.start, tabs.cnt, tabs.ids, smat_dev,
+                tiles_dev, k=k, E=E, CAPC=capc, CAPU=capu,
+                n_clumps=n_clumps, tot_units=tot_units, W=W)
         out.append((c0, nr, res))
     return out
 
 
-def _chunk_finish(chunks, n, tot_units, aligned: bool):
-    """One device_get over every chunk, merged to global row indices."""
+def _chunk_finish(chunks, n, tot_units, aligned: bool,
+                  cap_factor: int = 2):
+    """One device_get over every chunk, merged to global row indices.
+    Raises RuntimeError when any chunk's winner buffers overflowed."""
     import jax
 
-    capc = capu = 4 * CHUNK_ROWS
+    capc = capu = cap_factor * CHUNK_ROWS
     fetched = jax.device_get([r for _, _, r in chunks])
     ov = np.zeros(n, dtype=bool)
     parts = {key: [] for key in
@@ -377,10 +405,16 @@ def _chunk_finish(chunks, n, tot_units, aligned: bool):
         if aligned:
             parts["uj"].append(uj[:nu].astype(np.int64) + c0)
             parts["uu"].append(uu[:nu].astype(np.int64))
-            parts["ped"].append(
-                np.minimum(packed[0][:nu].astype(np.int64), 255))
-            parts["pfirst"].append(packed[1][:nu].astype(np.int64))
-            parts["plast"].append(packed[2][:nu].astype(np.int64))
+            if packed.ndim == 1:       # (ed<<22 | first<<11 | last)
+                pk = packed[:nu].astype(np.int64)
+                parts["ped"].append(pk >> 22)
+                parts["pfirst"].append((pk >> 11) & 0x7FF)
+                parts["plast"].append(pk & 0x7FF)
+            else:
+                parts["ped"].append(
+                    np.minimum(packed[0][:nu].astype(np.int64), 255))
+                parts["pfirst"].append(packed[1][:nu].astype(np.int64))
+                parts["plast"].append(packed[2][:nu].astype(np.int64))
     out = {"ov": ov}
     keys = ("cj", "ccl", "chits", "cminw", "ukeys") + (
         ("uj", "uu", "ped", "pfirst", "plast") if aligned else ())
@@ -407,11 +441,24 @@ def scour_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
     if E is None:
         E = int(os.environ.get("BURST_TPU_SCOUR_E", 256))
     n = len(lens)
+    factor = getattr(tabs, "cap_factor", 2)
     chunks = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
-                             n_clumps, tot_units, E, None)
+                             n_clumps, tot_units, E, None, factor)
 
     def finish():
-        return _chunk_finish(chunks, n, tot_units, aligned=False)
+        try:
+            return _chunk_finish(chunks, n, tot_units, aligned=False,
+                                 cap_factor=factor)
+        except RuntimeError:
+            if factor >= 4:
+                raise
+            # sticky escalation: this DB/workload needs bigger winner
+            # buffers; redo once and remember for future batches
+            tabs.cap_factor = 4
+            ch2 = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner,
+                                  tabs, n_clumps, tot_units, E, None, 4)
+            return _chunk_finish(ch2, n, tot_units, aligned=False,
+                                 cap_factor=4)
 
     return finish if defer else finish()
 
@@ -432,11 +479,22 @@ def scour_align_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
     if E is None:
         E = int(os.environ.get("BURST_TPU_SCOUR_E", 256))
     n = len(lens)
+    factor = getattr(tabs, "cap_factor", 2)
+    ctx = (smat_dev, tiles_dev, W)
     chunks = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
-                             n_clumps, tot_units, E,
-                             (smat_dev, tiles_dev, W))
+                             n_clumps, tot_units, E, ctx, factor)
 
     def finish():
-        return _chunk_finish(chunks, n, tot_units, aligned=True)
+        try:
+            return _chunk_finish(chunks, n, tot_units, aligned=True,
+                                 cap_factor=factor)
+        except RuntimeError:
+            if factor >= 4:
+                raise
+            tabs.cap_factor = 4
+            ch2 = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner,
+                                  tabs, n_clumps, tot_units, E, ctx, 4)
+            return _chunk_finish(ch2, n, tot_units, aligned=True,
+                                 cap_factor=4)
 
     return finish

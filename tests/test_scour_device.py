@@ -229,3 +229,51 @@ def test_align_stream_alternate_matches():
     finally:
         os.environ.pop("BURST_TPU_DEV_SCOUR", None)
     assert alt_out == seq_out
+
+
+def test_cap_escalation(monkeypatch):
+    """Winner-buffer overflow escalates caps once and sticks."""
+    from burst_tpu.accel import build_accelerator, build_unit_index
+    from burst_tpu.kernels import scour_device as sd
+
+    # chimeric reads built from four references each: with mm=0 every
+    # hit clump wins, flooding tiny winner caps
+    rng = np.random.default_rng(43)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    refs = [rng.choice(bases, size=600) for _ in range(40)]
+    rheads = [f"r{i:03d}".encode() for i in range(40)]
+    reads, qheads = [], []
+    for i in range(256):
+        parts = []
+        for p in range(2):       # ~3 winner clumps per read: between
+            src_r = refs[int(rng.integers(0, 40))]   # the x2 and x4 caps
+            st = int(rng.integers(0, 575))
+            parts.append(src_r[st:st + 25])
+        parts.append(rng.choice(bases, size=50))
+        reads.append(np.concatenate(parts))
+        qheads.append(f"q{i:05d}".encode())
+    rd = process_references(rheads, [r.copy() for r in refs],
+                            max_len_q=100, thres=0.98, rebase=True,
+                            rebase_amt=320, curate=2)
+    acc = build_accelerator(rd, k=12, z=1)
+    build_unit_index(rd, acc)
+    qd = process_queries(qheads, reads, 0.98, do_rc=False)
+    qbins = bin_queries_for_accel(qd, acc.k, 1)
+    tabs = sd.get_tables(acc)
+    b0, b1 = int(qbins[0]), int(qbins[1])
+    qmat, qlens, _ = engine._query_matrix(qd)
+    zeros = np.zeros(b1 - b0, np.int64)
+    monkeypatch.setattr(sd, "CHUNK_ROWS", 64)   # tiny winner caps
+    res = sd.scour_rows(np.ascontiguousarray(qmat[b0:b1]),
+                        qlens[b0:b1], acc.k, zeros, zeros, tabs,
+                        rd.tot_units // 16 + 1, rd.tot_units)
+    assert getattr(tabs, "cap_factor", 2) == 4   # escalated + sticky
+    assert len(res["cj"]) > 2 * 64               # overflowed factor 2
+    # fresh tables pre-set to 4 give identical results
+    tabs2 = sd.ScourTables(acc.u_csr, 1 << (2 * acc.k), dense=True)
+    tabs2.cap_factor = 4
+    res2 = sd.scour_rows(np.ascontiguousarray(qmat[b0:b1]),
+                         qlens[b0:b1], acc.k, zeros, zeros, tabs2,
+                         rd.tot_units // 16 + 1, rd.tot_units)
+    for key in ("cj", "ccl", "chits", "cminw", "ukeys"):
+        np.testing.assert_array_equal(res[key], res2[key])
