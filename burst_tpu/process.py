@@ -27,6 +27,16 @@ from .alphabet import CHAR2NUM, RVT, translate, revcomp
 LATENCY = 16
 
 
+def _cut_ws(h: bytes) -> bytes:
+    """Truncate at the first space/tab; no allocation when absent
+    (the overwhelmingly common case)."""
+    i = h.find(b" ")
+    j = h.find(b"\t")
+    if i < 0:
+        return h if j < 0 else h[:j]
+    return h[:i] if j < 0 or i < j else h[:j]
+
+
 def _process_queries_vec(headers, raw_seqs, thres: float, do_rc: bool,
                          xalpha: bool):
     """Vectorized fast path of process_queries (identical semantics).
@@ -118,10 +128,7 @@ def process_queries(headers, raw_seqs, thres: float, do_rc: bool,
     if tot == 0:
         raise ValueError("ERROR: No queries found.")
     if not incl_whitespace:
-        # bytes.find runs at C speed; the sentinel append makes a miss
-        # return len(h) so min() picks the first cut point
-        headers = [h[:min((h + b" ").find(b" "),
-                          (h + b"\t").find(b"\t"))] for h in headers]
+        headers = [_cut_ws(h) for h in headers]
     qd = _process_queries_vec(headers, raw_seqs, thres, do_rc, xalpha)
     if qd is not None:
         return qd
