@@ -854,6 +854,34 @@ def _assemble_visits(qd, res, b0: int, b1: int, qbunch: int, bad_arr,
     return vis
 
 
+def _inject_device_peq(qd, b0: int, b1: int, smat: np.ndarray,
+                       smat_dev, W: int, fetch) -> bool:
+    """Seed the phase-B Peq device cache from the fused scan's batch
+    matrix. Only when the scan covers every row (no ambiguous or
+    full-scan rows) and they all share one Myers word count -- the
+    general case keeps the host build."""
+    from .kernels.scour_device import _peq_pow2_jit
+
+    nj = len(qd.seqs)
+    if b0 != 0 or b1 != nj:
+        return False
+    _, _, qw = _query_matrix(qd)
+    if nj == 0 or not bool((qw == W).all()):
+        return False
+    key = (W, smat.tobytes())
+    cache = getattr(qd, "_peqdev", None)
+    if cache is None:
+        cache = {}
+        qd._peqdev = cache
+    if key in cache:
+        return True
+    qp_d, lp_d = fetch.batch_dev
+    pow2 = max(_pow2_ceil(nj), qp_d.shape[0])
+    peq_dev = _peq_pow2_jit(qp_d, lp_d, smat_dev, W=W, POW2=pow2)
+    cache[key] = (np.arange(nj, dtype=np.int64), peq_dev)
+    return True
+
+
 def _ambig_word_lists(qd, b0: int, k: int, z: int):
     """Ambiguous unibins' expanded unique words + multiplicities."""
     from .accel import query_words
@@ -931,9 +959,12 @@ def _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
             fetch = scour_device.scour_align_rows(
                 qmat[b0:b1], lens_c, k, mm_m, mm_i, tabs, n_clumps,
                 tot_units, smat_dev, tiles_dev, W)
-            # phase B rescores winners with host-built Peq planes;
-            # start that upload now so it rides behind the scan
-            prefetch_query_planes(qd, smat_np)
+            # phase B rescores winners against device Peq planes;
+            # when the batch is one clear W bucket they build straight
+            # from the matrix just uploaded (no host build/transfer)
+            if not _inject_device_peq(qd, b0, b1, smat_np, smat_dev,
+                                      W, fetch):
+                prefetch_query_planes(qd, smat_np)
         else:
             fetch = scour_device.scour_rows(
                 qmat[b0:b1], lens_c, k, mm_m, mm_i, tabs, n_clumps,

@@ -225,6 +225,21 @@ def _build_peq_dev(qmat, lens, smat_dev, W: int):
 
 
 @functools.partial(
+    __import__("jax").jit, static_argnames=("W", "POW2"))
+def _peq_pow2_jit(qmat_full, lens_full, smat_dev, W: int, POW2: int):
+    """Whole-batch Peq planes padded to a pow2 row count -- the exact
+    array engine._peq_device would upload, built from the batch matrix
+    already on device (saves the host build + ~5MB transfer)."""
+    import jax.numpy as jnp
+    peq = _build_peq_dev(qmat_full, lens_full, smat_dev, W)
+    pad = POW2 - qmat_full.shape[0]
+    if pad > 0:
+        peq = jnp.concatenate(
+            [peq, jnp.zeros((pad, 16, W), jnp.uint32)])
+    return peq
+
+
+@functools.partial(
     __import__("jax").jit,
     static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units",
                      "W"))
@@ -369,7 +384,7 @@ def _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
                 tiles_dev, k=k, E=E, CAPC=capc, CAPU=capu,
                 n_clumps=n_clumps, tot_units=tot_units, W=W)
         out.append((c0, nr, res))
-    return out
+    return out, qp_d, lp_d
 
 
 def _chunk_finish(chunks, n, tot_units, aligned: bool,
@@ -442,8 +457,9 @@ def scour_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
         E = int(os.environ.get("BURST_TPU_SCOUR_E", 256))
     n = len(lens)
     factor = getattr(tabs, "cap_factor", 2)
-    chunks = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
-                             n_clumps, tot_units, E, None, factor)
+    chunks, _, _ = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner,
+                                   tabs, n_clumps, tot_units, E, None,
+                                   factor)
 
     def finish():
         try:
@@ -455,8 +471,9 @@ def scour_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
             # sticky escalation: this DB/workload needs bigger winner
             # buffers; redo once and remember for future batches
             tabs.cap_factor = 4
-            ch2 = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner,
-                                  tabs, n_clumps, tot_units, E, None, 4)
+            ch2, _, _ = _chunk_dispatch(qmat, lens, k, mm_member,
+                                        mm_inner, tabs, n_clumps,
+                                        tot_units, E, None, 4)
             return _chunk_finish(ch2, n, tot_units, aligned=False,
                                  cap_factor=4)
 
@@ -481,8 +498,9 @@ def scour_align_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
     n = len(lens)
     factor = getattr(tabs, "cap_factor", 2)
     ctx = (smat_dev, tiles_dev, W)
-    chunks = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
-                             n_clumps, tot_units, E, ctx, factor)
+    chunks, qp_d, lp_d = _chunk_dispatch(
+        qmat, lens, k, mm_member, mm_inner, tabs, n_clumps, tot_units,
+        E, ctx, factor)
 
     def finish():
         try:
@@ -492,9 +510,11 @@ def scour_align_rows(qmat: np.ndarray, lens: np.ndarray, k: int,
             if factor >= 4:
                 raise
             tabs.cap_factor = 4
-            ch2 = _chunk_dispatch(qmat, lens, k, mm_member, mm_inner,
-                                  tabs, n_clumps, tot_units, E, ctx, 4)
+            ch2, _, _ = _chunk_dispatch(qmat, lens, k, mm_member,
+                                        mm_inner, tabs, n_clumps,
+                                        tot_units, E, ctx, 4)
             return _chunk_finish(ch2, n, tot_units, aligned=True,
                                  cap_factor=4)
 
+    finish.batch_dev = (qp_d, lp_d)
     return finish

@@ -277,3 +277,34 @@ def test_cap_escalation(monkeypatch):
                          rd.tot_units // 16 + 1, rd.tot_units)
     for key in ("cj", "ccl", "chits", "cminw", "ukeys"):
         np.testing.assert_array_equal(res[key], res2[key])
+
+
+def test_fused_scan_device_peq_injection():
+    """No-ambig batches rescore against device-built Peq planes;
+    output must stay byte-identical to the host path."""
+    import io
+    from burst_tpu import modes
+    from burst_tpu.alphabet import score_matrix
+
+    smat = score_matrix()
+
+    def run(path):
+        qd, rd2, acc2, qbins = _workload(seed=47, with_ambig=False)
+        assert int(qbins[0]) == 0
+        if path == "fused":
+            vis, sed = _fused_scan(qd, rd2, acc2, qbins)
+            assert (1 * 4, smat.tobytes()) not in \
+                getattr(qd, "_peqcache", {})   # no host peq built
+            assert (4, smat.tobytes()) in qd._peqdev   # device-injected
+        else:
+            vis = _visits_with(qd, rd2, acc2, qbins, False)
+            sed = engine.compute_ed_matrix_accel(qd, rd2, vis, smat)
+        juni, refpos, eds = engine.select_pods(qd, rd2, sed, "BEST")
+        cols = sed.lookup_cols(juni, refpos, rd2.tot_units)
+        pods = engine.rescore_winners(qd, rd2, juni, refpos, eds,
+                                      "BEST", smat, win_cols=cols)
+        buf = io.StringIO()
+        modes.report_best(pods, qd, rd2, modes.B6Writer(buf))
+        return buf.getvalue()
+
+    assert run("host") == run("fused")
