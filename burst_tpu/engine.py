@@ -390,7 +390,10 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
 
     def _dispatch(sel, W, lb, peq_dev, tiles_dev, prows, trows,
                   x0s, Lw):
-        pchunk = min(QCHUNK, _pow2_ceil(len(sel)))
+        # 4x the canonical block: winner batches run ~1 pair/read, so
+        # larger chunks cut per-dispatch host glue without VMEM risk
+        # (the rescore kernel grids over 256-pair blocks internally)
+        pchunk = min(4 * QCHUNK, _pow2_ceil(len(sel)))
         for s0 in range(0, len(sel), pchunk):
             part = sel[s0:s0 + pchunk]
             pidx = np.zeros(pchunk, np.int32)
