@@ -52,11 +52,33 @@ def run_pipeline(qheads, reads, aligner):
     return aligner.align_batch(qheads, reads).count(b"\n")
 
 
+def _wait_for_device(max_tries: int = 15):
+    """The tunneled dev TPU stalls for minutes at a time; wait for a
+    healthy round-trip before timing so a stall window doesn't read as
+    a performance number. Probes run in subprocesses (an in-process
+    device_get on a hung tunnel blocks forever). Proceeds regardless
+    after max_tries."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp;"
+             "jax.device_get(jnp.zeros((8,), jnp.int32) + 1)")
+    for i in range(max_tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=90, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(45)
+
+
 def main():
     from burst_tpu.accel import build_accelerator
     from burst_tpu.process import process_references
     from burst_tpu.serving import Aligner
 
+    _wait_for_device()
     rheads, refs, qheads, reads = make_workload()
     # one-time db + accelerator build (persisted artifacts in production)
     rd = process_references(rheads, [r.copy() for r in refs],
