@@ -199,7 +199,8 @@ def _scour_jit(qmat_full, lens_full, mm_m_full, mm_i_full, off,
                n_clumps: int, tot_units: int):
     import jax
     C = CHUNK_ROWS
-    qmat = jax.lax.dynamic_slice_in_dim(qmat_full, off, C, 0)
+    qmat = _unpack_codes(
+        jax.lax.dynamic_slice_in_dim(qmat_full, off, C, 0))
     lens = jax.lax.dynamic_slice_in_dim(lens_full, off, C, 0)
     mm_member = jax.lax.dynamic_slice_in_dim(mm_m_full, off, C, 0)
     mm_inner = jax.lax.dynamic_slice_in_dim(mm_i_full, off, C, 0)
@@ -224,6 +225,16 @@ def _build_peq_dev(qmat, lens, smat_dev, W: int):
     return mm.sum(axis=2, dtype=jnp.uint32).transpose(0, 2, 1)
 
 
+def _unpack_codes(packed):
+    """[n, L/2] two-codes-per-byte -> [n, L] 4-bit codes (upload is
+    half the bytes; the interleave is a few vreg ops)."""
+    import jax.numpy as jnp
+    n, Lh = packed.shape
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=2).reshape(n, 2 * Lh)
+
+
 @functools.partial(
     __import__("jax").jit, static_argnames=("W", "POW2"))
 def _peq_pow2_jit(qmat_full, lens_full, smat_dev, W: int, POW2: int):
@@ -231,7 +242,8 @@ def _peq_pow2_jit(qmat_full, lens_full, smat_dev, W: int, POW2: int):
     array engine._peq_device would upload, built from the batch matrix
     already on device (saves the host build + ~5MB transfer)."""
     import jax.numpy as jnp
-    peq = _build_peq_dev(qmat_full, lens_full, smat_dev, W)
+    peq = _build_peq_dev(_unpack_codes(qmat_full), lens_full, smat_dev,
+                         W)
     pad = POW2 - qmat_full.shape[0]
     if pad > 0:
         peq = jnp.concatenate(
@@ -261,7 +273,8 @@ def _scour_align_jit(qmat_full, lens_full, mm_m_full, mm_i_full,
     from ..engine import _myers_pairs_dispatch
 
     C = CHUNK_ROWS
-    qmat = jax.lax.dynamic_slice_in_dim(qmat_full, off, C, 0)
+    qmat = _unpack_codes(
+        jax.lax.dynamic_slice_in_dim(qmat_full, off, C, 0))
     lens = jax.lax.dynamic_slice_in_dim(lens_full, off, C, 0)
     mm_member = jax.lax.dynamic_slice_in_dim(mm_m_full, off, C, 0)
     mm_inner = jax.lax.dynamic_slice_in_dim(mm_i_full, off, C, 0)
@@ -363,7 +376,8 @@ def _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
     mmm[:n] = np.minimum(mm_member, DEAD - 1)
     mmi = np.full(npad, DEAD, dtype=np.int32)
     mmi[:n] = np.minimum(mm_inner, DEAD - 1)
-    qp_d = jnp.asarray(qp)
+    # two 4-bit codes per byte: halves the upload, unpacked on device
+    qp_d = jnp.asarray(qp[:, 0::2] | (qp[:, 1::2] << 4))
     lp_d = jnp.asarray(lp)
     mmm_d = jnp.asarray(mmm)
     mmi_d = jnp.asarray(mmi)
