@@ -69,10 +69,13 @@ class Aligner:
         return cls(rd, None, **kw)
 
     def warmup(self, read_len: int = 100, n: int = 256):
-        """Compile the kernel shapes for a typical batch ahead of time."""
+        """Compile the kernel shapes for a typical batch ahead of time.
+
+        Uses ACGT reads: the scour chunk kernels have fixed row shapes,
+        so any batch of the production read length compiles them."""
         rng = np.random.default_rng(0)
-        seqs = [rng.integers(1, 5, size=read_len).astype(np.uint8)
-                for _ in range(n)]
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        seqs = [rng.choice(bases, size=read_len) for _ in range(n)]
         heads = [f"w{i}".encode() for i in range(n)]
         self.align_batch(heads, seqs)
 
