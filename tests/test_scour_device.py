@@ -308,3 +308,17 @@ def test_fused_scan_device_peq_injection():
         return buf.getvalue()
 
     assert run("host") == run("fused")
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_device_scour_fuzz(seed):
+    """Randomized workloads: device and native scour always agree."""
+    rng = np.random.default_rng(seed)
+    qd, rd, acc, qbins = _workload(
+        seed=seed, n_refs=int(rng.integers(10, 50)),
+        ref_len=int(rng.integers(400, 1200)),
+        n_reads=int(rng.integers(100, 500)),
+        with_ambig=bool(rng.integers(0, 2)))
+    ref = _visits_with(qd, rd, acc, qbins, dev=False)
+    got = _visits_with(qd, rd, acc, qbins, dev=True)
+    _assert_visits_equal(ref, got)
