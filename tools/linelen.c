@@ -1,26 +1,50 @@
-/* linelen: report the longest line of a file (sanity probe for
- * linearized FASTA). Native rebuild of
- * /root/reference/embalmlets/linelen.c including its "rep" mode
- * (prints line-count/rep and max length).
- * Usage: linelen file [rep]
+/* linelen: print the longest line of a text file (sanity probe for
+ * linearized FASTA).
+ *
+ * Output contract (matches /root/reference/embalmlets/linelen.c): the
+ * winning line's length includes its trailing newline only when it is
+ * the final line of the file; with a second "rep" argument it prints
+ * "<lines/rep> <maxlen>" instead of the verbose form.
+ *
+ * Implementation: streaming block scan over the raw bytes rather than
+ * per-line buffered reads, so memory use is constant regardless of
+ * line length.
  */
 #include <stdio.h>
 #include <stdlib.h>
-#include <string.h>
 
-int main(int argc, char *argv[]) {
+int main(int argc, char **argv) {
     if (argc < 2) { puts("Usage: linelen file [rep]"); return 1; }
-    size_t cap = 1 << 26;
-    char *line = malloc(cap);
-    FILE *f = fopen(argv[1], "r");
-    if (!f || !line) { puts("Invalid file."); return 1; }
-    unsigned rep = argc > 2 ? (unsigned)atoi(argv[2]) : 0;
-    unsigned maxlen = 0, i = 0, mi = 0, t;
-    while (fgets(line, cap, f))
-        if (++i, (t = (unsigned)strlen(line)) > maxlen) mi = i, maxlen = t;
-    /* the trailing newline is excluded unless the max line is the last */
-    if (rep) printf("%u %u\n", i / rep, maxlen - (mi < i));
-    else printf("Length of longest line: %u at line %u\n",
-                maxlen - (mi < i), mi);
+    FILE *fp = fopen(argv[1], "rb");
+    if (!fp) { puts("Invalid file."); return 1; }
+    unsigned rep = (argc > 2) ? (unsigned)strtoul(argv[2], NULL, 10) : 0;
+
+    enum { CHUNK = 1 << 20 };
+    static char buf[CHUNK];
+    unsigned best = 0;      /* longest line seen, newline included   */
+    unsigned winner = 0;    /* 1-based index of the first best line  */
+    unsigned nlines = 0;    /* total lines (EOF tail counts as one)  */
+    unsigned cur = 0;       /* bytes accumulated on the current line */
+    size_t got;
+    while ((got = fread(buf, 1, CHUNK, fp)) > 0) {
+        for (size_t k = 0; k < got; ++k) {
+            ++cur;
+            if (buf[k] != '\n') continue;
+            ++nlines;
+            if (cur > best) { best = cur; winner = nlines; }
+            cur = 0;
+        }
+    }
+    fclose(fp);
+    if (cur > 0) { /* final line with no trailing newline */
+        ++nlines;
+        if (cur > best) { best = cur; winner = nlines; }
+    }
+
+    /* Exclude the newline from the reported length unless the winner
+     * is the file's last line (which keeps its newline if it has one). */
+    unsigned shown = best - (winner < nlines);
+    if (rep) printf("%u %u\n", nlines / rep, shown);
+    else printf("Length of longest line: %u at line %u\n", shown, winner);
     return 0;
 }
