@@ -73,6 +73,37 @@ def make_reads(rng, refs, n_reads, read_len=100, max_err=3, rc_frac=0.0,
     return reads
 
 
+def make_reads_indel(rng, refs, n_reads, read_len=100, max_err=3,
+                     rc_frac=0.0, prefix="iread"):
+    """Reads with a mix of substitutions, deletions and insertions, so
+    gap counting / dual-objective tiebreaks / the len+gapQ identity
+    divisor are exercised end-to-end (burst.c:771-798, 844-860)."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    reads = []
+    for i in range(n_reads):
+        _, seq = refs[int(rng.integers(0, len(refs)))]
+        if len(seq) <= read_len:
+            st, rl = 0, len(seq)
+        else:
+            st = int(rng.integers(0, len(seq) - read_len))
+            rl = read_len
+        r = list(seq[st:st + rl])
+        for _ in range(int(rng.integers(0, max_err + 1))):
+            kind = int(rng.integers(0, 3))
+            p = int(rng.integers(0, len(r)))
+            if kind == 0:
+                r[p] = "ACGT"[int(rng.integers(0, 4))]
+            elif kind == 1 and len(r) > 30:
+                del r[p]
+            else:
+                r.insert(p, "ACGT"[int(rng.integers(0, 4))])
+        s = "".join(r)
+        if rc_frac and rng.random() < rc_frac:
+            s = "".join(comp[c] for c in reversed(s))
+        reads.append((f"{prefix}{i:05d}", s))
+    return reads
+
+
 def read_fasta(path):
     out = []
     name = None
