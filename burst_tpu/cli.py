@@ -282,7 +282,8 @@ def run(a) -> int:
         if not a["heur"] and a["shards"] <= 1:
             # one dispatch chain when the thread-derived QBUNCH is 1
             fused = engine.accel_scan_fused(qd, rd, acc, qbins, smat,
-                                            threads=a["threads"])
+                                            threads=a["threads"],
+                                            skip_ambig=a["skipambig"])
         if fused is not None:
             visits, ed = fused
             ph.mark("Accelerator scour")
@@ -290,7 +291,8 @@ def run(a) -> int:
             engine.prefetch_query_planes(qd, smat)  # h2d overlaps scour
             visits = engine.accel_candidates(qd, rd, acc, qbins,
                                              a["heur"],
-                                             threads=a["threads"])
+                                             threads=a["threads"],
+                                             skip_ambig=a["skipambig"])
             ph.mark("Accelerator scour")
             if a["shards"] > 1:
                 from .parallel.mesh import (

@@ -576,7 +576,8 @@ class SparseED:
 def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
                      do_heur: bool = False, threads: int = 1,
                      qbunch: int | None = None,
-                     dev_scour: bool | None = None) -> Visits:
+                     dev_scour: bool | None = None,
+                     skip_ambig: bool = False) -> Visits:
     """Build per-unibin candidate visit lists (vectorized host pass).
 
     The reference scans QBUNCH unibins per task (burst.c:4018-4021,
@@ -594,10 +595,16 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
     n = len(qd.seqs)
     n_clumps = rd.tot_units // VECSZ + (1 if rd.tot_units % VECSZ else 0)
     bad_arr = np.asarray(acc.bad, dtype=np.int64)
-    nb = len(bad_arr)
     b0, b1 = int(qbins[0]), int(qbins[1])
     full = np.ones(n, dtype=bool)
     full[:b1] = False
+    if skip_ambig:
+        # -sa at align time: BadList second pass and the full-scan
+        # fallback are both skipped; bad-bin unibins drop silently
+        # (burst.c:4047, 4322)
+        bad_arr = bad_arr[:0]
+        full[:] = False
+    nb = len(bad_arr)
 
     def _bad_only() -> Visits:
         offs = np.zeros(n + 1, dtype=np.int64)
@@ -1108,7 +1115,8 @@ def _tiles_device_all(rd: RefData, pad: int = 32):
 def accel_scan_fused(qd: QueryData, rd: RefData, acc,
                      qbins: np.ndarray, smat: np.ndarray | None = None,
                      qbunch: int | None = None, threads: int = 1,
-                     dev_scour: bool | None = None):
+                     dev_scour: bool | None = None,
+                     skip_ambig: bool = False):
     """Fused accelerator scan: device scour + phase-A pair alignment in
     ONE dispatch chain, one fetch. Returns (visits, sed) -- drop-in for
     accel_candidates + compute_ed_matrix_accel(defer=True) -- or None
@@ -1151,6 +1159,11 @@ def accel_scan_fused(qd: QueryData, rd: RefData, acc,
     bad_arr = np.asarray(acc.bad, dtype=np.int64)
     full = np.ones(n, dtype=bool)
     full[:b1] = False
+    if skip_ambig:
+        # -sa align semantics (burst.c:4047, 4322): no BadList pass,
+        # no full-scan fallback; bad-bin unibins drop silently
+        bad_arr = bad_arr[:0]
+        full[:] = False
     qmat, qlens_all, qw_all = _query_matrix(qd)
     if not bool((qlens_all[b0:b1] >= k).any()):
         return None                      # degenerate; two-step path
@@ -1294,6 +1307,15 @@ def _subset_qd(qd: QueryData, rows: list[int]) -> QueryData:
     sub.seqs = [qd.seqs[j] for j in rows]
     sub.six = qd.six[rows]
     sub.rc = qd.rc[rows]
+    # the row-indexed caches refer to the PARENT's row numbering; a
+    # shallow copy would silently serve the wrong queries' planes.
+    # Slice the query matrix; the Peq caches rebuild on demand.
+    cached = sub.__dict__.pop("_qmat", None)
+    for attr in ("_peqcache", "_peqdev"):
+        sub.__dict__.pop(attr, None)
+    if cached is not None:
+        ra = np.asarray(rows, dtype=np.int64)
+        sub._qmat = (cached[0][ra], cached[1][ra], cached[2][ra])
     return sub
 
 
