@@ -393,12 +393,19 @@ def _stream_nonzero_lens(f, n_words: int):
     return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
 
-def read_acx(path: str, k: int | None = None, z_required: int = 1
+def read_acx(path: str, k: int | None = None, z_required: int = 1,
+             clump_range: tuple[int, int] | None = None
              ) -> Accelerator:
     """Read a .acx (ours or the reference's; SMALL or LARGE format).
 
     The 4^k counts table is streamed in chunks and kept sparse; only
     the nonzero words survive in memory (see SparseCSR).
+
+    clump_range=(c_lo, c_hi): per-host shard loading -- postings are
+    filtered to clump IDs in the range (the decode streams the full
+    file once; only the local postings survive in memory). The BadList
+    stays global: its second pass is replayed identically on every
+    host and filtered to local units at pair expansion.
     """
     import os
     fsize = os.path.getsize(path)
@@ -473,6 +480,12 @@ def read_acx(path: str, k: int | None = None, z_required: int = 1
                      | (raw[rec + 2].astype(np.uint32) << 16))
                 ids[start[om] + cnt[om] - 1] = v
         bad = np.fromfile(f, np.uint32, bad_sz)
+    if clump_range is not None:
+        c_lo, c_hi = int(clump_range[0]), int(clump_range[1])
+        keep = (ids >= c_lo) & (ids < c_hi)
+        wid = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        cnt = np.bincount(wid[keep], minlength=len(cnt)).astype(np.int64)
+        ids = np.ascontiguousarray(ids[keep])
     return Accelerator(k, SparseCSR(nzw, cnt, ids), bad, int(did_z))
 
 

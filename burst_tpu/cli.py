@@ -225,6 +225,16 @@ class _Phases:
 def run(a) -> int:
     import burst_tpu.db.edx as edx
 
+    if os.environ.get("BURST_TPU_MULTIHOST"):
+        # DB-sharded multi-process run (parallel/multihost.py); every
+        # process executes the same CLI line, process 0 writes the b6
+        if a["makedb"]:
+            print("ERROR: build the database once, without "
+                  "BURST_TPU_MULTIHOST")
+            return 1
+        from .parallel.multihost import align_multihost
+        return align_multihost(a)
+
     ph = _Phases(a["quiet"])
     if a["makedb"]:
         from .db.build import make_db
@@ -354,10 +364,26 @@ def run(a) -> int:
     return 0
 
 
+def _pin_platform():
+    """Honor JAX_PLATFORMS explicitly: sitecustomize-style plugins can
+    register an experimental TPU backend at interpreter start and probe
+    it during `jax.devices()` even when the env var says cpu -- pinning
+    the config before any backend initializes keeps one-shot CLI
+    subprocesses (tests, multi-host children) off that path."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            import jax
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv
     if len(argv) < 2:
         _usage()
+    _pin_platform()
     _enable_compile_cache()
     a = parse_args(argv)
     if not a["out"] or not a["ref"] and not a["makedb"]:

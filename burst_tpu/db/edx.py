@@ -29,8 +29,33 @@ def is_edx(path: str) -> bool:
     return bool(b[0] >> 7)
 
 
-def read_edx(path: str, xalpha: bool = False):
-    """Read an .edx file into a RefData. Returns (RefData, shear)."""
+def edx_dims(path: str) -> tuple[int, int]:
+    """(num_clumps, tot_units) from the .edx header only -- the probe a
+    multi-host launcher uses to pick per-host clump ranges without
+    reading tile data."""
+    with open(path, "rb") as f:
+        cb = f.read(1)[0]
+        ver = cb & 0xF
+        if ver != EDX_VERSION:
+            raise ValueError(f"ERROR: invalid database version {ver}")
+        np.fromfile(f, dtype=np.uint64, count=1)
+        np.fromfile(f, dtype=np.uint32, count=1)
+        tot_r, _orig, num_clumps, _ml = (
+            int(v) for v in np.fromfile(f, dtype=np.uint32, count=4))
+    return num_clumps, tot_r
+
+
+def read_edx(path: str, xalpha: bool = False,
+             clump_range: tuple[int, int] | None = None):
+    """Read an .edx file into a RefData. Returns (RefData, shear).
+
+    clump_range=(c_lo, c_hi): per-host shard loading for multi-host
+    runs. All global metadata (headers, RefMap/RefStart/DedupIx/TmpRIX,
+    clump lengths) is read as usual -- it is small and reporting needs
+    it everywhere -- but only the nibble-packed tile columns of clumps
+    [c_lo, c_hi) are read from disk (seek past the rest); units outside
+    the range get empty sequences. Unit numbering stays global.
+    """
     from ..process import RefData
 
     with open(path, "rb") as f:
@@ -65,8 +90,20 @@ def read_edx(path: str, xalpha: bool = False):
                               ).astype(np.int64)
         clump_len = np.fromfile(f, dtype=np.uint32, count=num_clumps
                                 ).astype(np.int64)
-        packed_len = int((clump_len // 2 + (clump_len & 1)).sum()) * 16
+        crows = clump_len // 2 + (clump_len & 1)          # packed rows
+        if clump_range is None:
+            c_lo, c_hi = 0, num_clumps
+        else:
+            c_lo = max(0, int(clump_range[0]))
+            c_hi = min(num_clumps, int(clump_range[1]))
+        skip = int(crows[:c_lo].sum()) * 16
+        packed_len = int(crows[c_lo:c_hi].sum()) * 16
+        tail = int(crows[c_hi:].sum()) * 16
+        if skip:
+            f.seek(skip, 1)
         packed = np.fromfile(f, dtype=np.uint8, count=packed_len)
+        if tail:
+            f.seek(tail, 1)
         centroids = fp_p = fp_ptrs = None
         if do_fp:
             centroids = np.fromfile(f, dtype=np.uint8, count=num_clumps * 32
@@ -81,10 +118,11 @@ def read_edx(path: str, xalpha: bool = False):
                                ).reshape(nf, 32)
 
     # Unpack nibble clumps -> per-unit sequences in sorted order
-    seqs_sorted: list[np.ndarray] = [None] * tot_r  # type: ignore
+    empty = np.zeros(0, dtype=np.uint8)
+    seqs_sorted: list[np.ndarray] = [empty] * tot_r
     lens_sorted = np.zeros(tot_r, dtype=np.int64)
     off = 0
-    for c in range(num_clumps):
+    for c in range(c_lo, c_hi):
         cl = int(clump_len[c])
         rows = cl // 2 + (cl & 1)
         block = packed[off:off + rows * 16].reshape(rows, 16)
@@ -134,6 +172,9 @@ def read_edx(path: str, xalpha: bool = False):
                  ref_map=ref_map, tot_units=tot_r, orig_tot=orig_tot_r,
                  shear=shear if rebase else 0, centroids=centroids,
                  fp_p=fp_p, fp_ptrs=fp_ptrs)
+    if clump_range is not None:
+        # engine kernels restrict tile passes to this sorted-unit range
+        rd.unit_range = (c_lo * 16, min(c_hi * 16, tot_r))
     return rd, (shear if rebase else 0)
 
 

@@ -48,9 +48,16 @@ def _bucket_queries(qd: QueryData):
 
 
 def _bucket_units(rd: RefData, granularity: int = 64):
-    """Group sorted unit positions by padded tile length."""
+    """Group sorted unit positions by padded tile length.
+
+    A host-range .edx shard (db/edx.read_edx clump_range) sets
+    rd.unit_range; units outside it are non-local -- another host owns
+    and scans them -- and are skipped here, so every kernel pass over
+    this rd touches local tiles only."""
+    ur = getattr(rd, "unit_range", None)
+    lo, hi = (0, rd.tot_units) if ur is None else ur
     buckets: dict[int, list[int]] = {}
-    for p in range(rd.tot_units):
+    for p in range(lo, min(hi, rd.tot_units)):
         ln = int(rd.lens[rd.ix_srt[p]])
         lb = -(-max(ln, 1) // granularity) * granularity
         buckets.setdefault(lb, []).append(p)
@@ -573,6 +580,182 @@ class SparseED:
         return self.lookup_cols(juni, refpos, tot_units)[1]
 
 
+def default_qbunch(n: int, threads: int) -> int:
+    """QBUNCH = newUniqQ/(threads*128), clamped to [1, 16]
+    (burst.c:4019-4021)."""
+    qbunch = n // (max(1, threads) * 128)
+    return max(1, min(16, qbunch))
+
+
+def bunch_thresholds(qd: QueryData, b1: int, k: int, qbunch: int,
+                     do_heur: bool):
+    """Pigeonhole thresholds per unibin/bunch (burst.c:4091-4095,
+    4163-4168): returns (mm_bunch, mm_inner, n_bunches)."""
+    lns = qd.lens[qd.six[:b1]].astype(np.int64)
+    errs = qd.ed[qd.six[:b1]].astype(np.int64)
+    kload = errs * k + k
+    mm_member = np.where(kload < lns, lns - kload, 0)
+    if do_heur:
+        mm_member = np.maximum(mm_member, (lns >> 4) + 1)
+    mm_inner = np.where(kload < lns, lns - kload, 1)
+    n_bunches = (b1 + qbunch - 1) // qbunch
+    mm_bunch = np.full(n_bunches, 1 << 60, dtype=np.int64)
+    if b1:
+        np.minimum.at(mm_bunch, np.arange(b1) // qbunch, mm_member)
+    return mm_bunch, mm_inner, n_bunches
+
+
+def bunch_word_multiset(qd: QueryData, acc, b0: int, b1: int,
+                        qbunch: int, k: int):
+    """Per-(bunch, word) k-mer multiset of the accelerator-eligible
+    unibins (burst.c:4096-4119): returns (bwords, bb, bmax, uq, uw,
+    mult) -- the deduped bunch word list with MAX-multiplicity weights,
+    plus the per-(unibin, word) multiset behind it -- or None when no
+    unibin yields a word. Depends only on the (replicated) queries, so
+    every DB-shard host computes the identical list."""
+    from .accel import query_words
+
+    qidx_parts, word_parts = [], []
+    # ambiguous unibins: per-query expansion (few)
+    for j in range(b0):
+        words = query_words(qd.seqs[j], k, acc.z, ambiguous=True)
+        if words.size:
+            qidx_parts.append(np.full(words.size, j, dtype=np.int64))
+            word_parts.append(words)
+    # clear unibins: vectorized rolling k-mers, grouped by length
+    if b1 > b0:
+        qmat, qlens_all, _ = _query_matrix(qd)
+        clear = np.arange(b0, b1)
+        lens_c = qlens_all[clear]
+        pw = (4 ** np.arange(k - 1, -1, -1, dtype=np.int64))
+        for ln in np.unique(lens_c):
+            rows = clear[lens_c == ln]
+            if ln < k:
+                continue
+            sub = qmat[rows, :ln].astype(np.int64) - 1
+            nwin = ln - k + 1
+            words = np.zeros((len(rows), nwin), dtype=np.int64)
+            for t in range(k):                       # k passes, no 3-D temp
+                words += sub[:, t: t + nwin] * pw[t]
+            qidx_parts.append(np.repeat(rows, nwin))
+            word_parts.append(words.ravel())
+    if not qidx_parts:
+        return None
+    qidx = np.concatenate(qidx_parts)
+    words = np.concatenate(word_parts)
+    span = np.int64(1) << np.int64(2 * k)
+    ukey, mult = np.unique(qidx * span + words, return_counts=True)
+    uq = ukey // span
+    uw = ukey % span
+    # per (bunch, word): weight = MAX multiplicity over bunch members
+    if qbunch == 1:
+        bwords, bb, bmax = uw, uq, mult.astype(np.int64)
+    else:
+        ub = uq // qbunch
+        bkey = ub * span + uw
+        bso = np.argsort(bkey, kind="stable")
+        bks = bkey[bso]
+        bhead = np.empty(len(bks), dtype=bool)
+        bhead[0] = True
+        np.not_equal(bks[1:], bks[:-1], out=bhead[1:])
+        bgid = np.cumsum(bhead) - 1
+        bmax = np.zeros(int(bgid[-1]) + 1, dtype=np.int64)
+        np.maximum.at(bmax, bgid, mult[bso])
+        bwords = (bks[bhead] % span).astype(np.int64)
+        bb = (bks[bhead] // span).astype(np.int64)
+    return bwords, bb, bmax, uq, uw, mult
+
+
+def scour_raw(acc, bwords, bb, bmax, n_clumps: int):
+    """Scour acc's postings for the bunch word list: per-candidate
+    (bunch, clump, hits, first-word) tuples, or None when no posting
+    matches. `acc` may be a per-host shard (postings filtered to a
+    clump range): candidates for a clump are computed entirely on the
+    host owning it, so concatenating per-host results reproduces the
+    single-process candidate set exactly."""
+    starts, seg = acc.csr.lookup(bwords)
+    total = int(seg.sum())
+    if total == 0:
+        return None
+    base = np.repeat(starts - np.concatenate(
+        ([0], np.cumsum(seg)[:-1])), seg)
+    flat = base + np.arange(total)
+    cl = acc.ids[flat].astype(np.int64)
+    brep = np.repeat(bb, seg)
+    wgt = np.repeat(bmax, seg)
+    wrd = np.repeat(bwords, seg)
+    pkey = brep * n_clumps + cl
+    # group-by via one stable argsort (first occurrence = group head)
+    so = np.argsort(pkey, kind="stable")
+    ps = pkey[so]
+    head = np.empty(len(ps), dtype=bool)
+    head[0] = True
+    np.not_equal(ps[1:], ps[:-1], out=head[1:])
+    u2 = ps[head]
+    gid = np.cumsum(head) - 1
+    hits = np.bincount(gid, weights=wgt[so].astype(np.float64)
+                       ).astype(np.int64)
+    first = so[np.nonzero(head)[0]]
+    np.minimum(hits, 0xFFFF, out=hits)
+    pb = (u2 // n_clumps).astype(np.int64)   # bunch id per candidate
+    pc = (u2 % n_clumps).astype(np.int64)
+    # first-occurrence k-mer of each candidate: the scour stream walks
+    # words ascending per bunch with clump-ascending postings, so
+    # ordering by (fw, clump) equals ordering by stream position -- and
+    # unlike the position it is comparable across per-host shards
+    fw = wrd[first]
+    return pb, pc, hits, fw
+
+
+def assemble_accel_visits(n: int, b0: int, b1: int, qbunch: int,
+                          n_bunches: int, bad_arr, full,
+                          pb, pc, hits, fw, mm_bunch,
+                          mm_inner) -> Visits:
+    """Candidate tuples -> Visits: pigeonhole filter, reference visit
+    order (hits desc, first-occurrence asc; burst.c:4120-4130), member
+    expansion with the per-member inner skip, BadList append. Pure
+    host-side assembly shared by the single-process path and the
+    multi-host merge (which concatenates per-host scour_raw results
+    first)."""
+    nb = len(bad_arr)
+    keep = hits > mm_bunch[pb]
+    kb = pb[keep]
+    srt = np.lexsort((pc[keep], fw[keep], -hits[keep], kb))
+    kb = kb[srt]
+    kc = pc[keep][srt]
+    kh = hits[keep][srt]
+    # expand bunch candidate lists to members, applying the per-member
+    # inner skip (bunch hits vs the member's threshold)
+    cands_per_b = np.bincount(kb, minlength=n_bunches)
+    bstart = np.concatenate(([0], np.cumsum(cands_per_b)))
+    memb = np.arange(b1)
+    mb = memb // qbunch
+    reps = cands_per_b[mb]
+    mrep = np.repeat(memb, reps)                 # member per expanded cand
+    total_e = int(reps.sum())
+    csr = np.concatenate(([0], np.cumsum(reps)))[:-1]
+    src = (np.arange(total_e) - np.repeat(csr, reps)
+           + np.repeat(bstart[mb], reps))
+    kc_m = kc[src]
+    ok = kh[src] > mm_inner[mrep]
+    mrep, kc_m = mrep[ok], kc_m[ok]
+    cands_per_q = np.bincount(mrep, minlength=b1)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    offs[1: b1 + 1] = np.cumsum(cands_per_q + nb)
+    offs[b1 + 1:] = offs[b1]
+    out = np.empty(int(offs[b1]), dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(cands_per_q)))
+    out[offs[mrep] + (np.arange(len(mrep)) - csum[mrep])] = kc_m
+    if nb:
+        dst = (offs[:b1, None] + cands_per_q[:, None] +
+               np.arange(nb)[None, :]).ravel()
+        out[dst] = np.tile(bad_arr, b1)
+    boffs = np.zeros(n_bunches + 1, dtype=np.int64)
+    boffs[1:] = np.cumsum(cands_per_b)
+    return Visits(flat=out, offs=offs, full=full, bflat=kc, boffs=boffs,
+                  qbunch=qbunch, bad_list=bad_arr)
+
+
 def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
                      do_heur: bool = False, threads: int = 1,
                      qbunch: int | None = None,
@@ -613,22 +796,9 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
         return Visits(flat=np.tile(bad_arr, b1), offs=offs, full=full)
 
     if qbunch is None:
-        qbunch = n // (max(1, threads) * 128)
-        qbunch = min(16, qbunch)
-        qbunch = max(1, qbunch)
-
-    # thresholds per unibin/bunch (burst.c:4091-4095, 4163-4168)
-    lns = qd.lens[qd.six[:b1]].astype(np.int64)
-    errs = qd.ed[qd.six[:b1]].astype(np.int64)
-    kload = errs * k + k
-    mm_member = np.where(kload < lns, lns - kload, 0)
-    if do_heur:
-        mm_member = np.maximum(mm_member, (lns >> 4) + 1)
-    mm_inner = np.where(kload < lns, lns - kload, 1)
-    n_bunches = (b1 + qbunch - 1) // qbunch
-    mm_bunch = np.full(n_bunches, 1 << 60, dtype=np.int64)
-    if b1:
-        np.minimum.at(mm_bunch, np.arange(b1) // qbunch, mm_member)
+        qbunch = default_qbunch(n, threads)
+    mm_bunch, mm_inner, n_bunches = bunch_thresholds(qd, b1, k, qbunch,
+                                                     do_heur)
 
     if b1:
         vis = _accel_candidates_native(
@@ -637,117 +807,18 @@ def accel_candidates(qd: QueryData, rd: RefData, acc, qbins: np.ndarray,
         if vis is not None:
             return vis
 
-    # word multisets of all accelerator-eligible unibins, batched
-    qidx_parts, word_parts = [], []
-    # ambiguous unibins: per-query expansion (few)
-    for j in range(b0):
-        words = query_words(qd.seqs[j], k, acc.z, ambiguous=True)
-        if words.size:
-            qidx_parts.append(np.full(words.size, j, dtype=np.int64))
-            word_parts.append(words)
-    # clear unibins: vectorized rolling k-mers, grouped by length
-    if b1 > b0:
-        qmat, qlens_all, _ = _query_matrix(qd)
-        clear = np.arange(b0, b1)
-        lens_c = qlens_all[clear]
-        pw = (4 ** np.arange(k - 1, -1, -1, dtype=np.int64))
-        for ln in np.unique(lens_c):
-            rows = clear[lens_c == ln]
-            if ln < k:
-                continue
-            sub = qmat[rows, :ln].astype(np.int64) - 1
-            nwin = ln - k + 1
-            words = np.zeros((len(rows), nwin), dtype=np.int64)
-            for t in range(k):                       # k passes, no 3-D temp
-                words += sub[:, t: t + nwin] * pw[t]
-            qidx_parts.append(np.repeat(rows, nwin))
-            word_parts.append(words.ravel())
-    if not qidx_parts:
+    bw = bunch_word_multiset(qd, acc, b0, b1, qbunch, k)
+    if bw is None:
         return _bad_only()
-    qidx = np.concatenate(qidx_parts)
-    words = np.concatenate(word_parts)
-    span = np.int64(1) << np.int64(2 * k)
-    ukey, mult = np.unique(qidx * span + words, return_counts=True)
-    uq = ukey // span
-    uw = ukey % span
-    # per (bunch, word): weight = MAX multiplicity over bunch members
-    if qbunch == 1:
-        bwords, bb, bmax = uw, uq, mult.astype(np.int64)
-    else:
-        ub = uq // qbunch
-        bkey = ub * span + uw
-        bso = np.argsort(bkey, kind="stable")
-        bks = bkey[bso]
-        bhead = np.empty(len(bks), dtype=bool)
-        bhead[0] = True
-        np.not_equal(bks[1:], bks[:-1], out=bhead[1:])
-        bgid = np.cumsum(bhead) - 1
-        bmax = np.zeros(int(bgid[-1]) + 1, dtype=np.int64)
-        np.maximum.at(bmax, bgid, mult[bso])
-        bwords = (bks[bhead] % span).astype(np.int64)
-        bb = (bks[bhead] // span).astype(np.int64)
-    starts, seg = acc.csr.lookup(bwords)
-    total = int(seg.sum())
-    if total == 0:
+    bwords, bb, bmax, uq, uw, mult = bw
+    raw = scour_raw(acc, bwords, bb, bmax, n_clumps)
+    if raw is None:
         return _bad_only()
-    base = np.repeat(starts - np.concatenate(
-        ([0], np.cumsum(seg)[:-1])), seg)
-    flat = base + np.arange(total)
-    cl = acc.ids[flat].astype(np.int64)
-    brep = np.repeat(bb, seg)
-    wgt = np.repeat(bmax, seg)
-    pkey = brep * n_clumps + cl
-    # group-by via one stable argsort (first occurrence = group head)
-    so = np.argsort(pkey, kind="stable")
-    ps = pkey[so]
-    head = np.empty(len(ps), dtype=bool)
-    head[0] = True
-    np.not_equal(ps[1:], ps[:-1], out=head[1:])
-    u2 = ps[head]
-    gid = np.cumsum(head) - 1
-    hits = np.bincount(gid, weights=wgt[so].astype(np.float64)
-                       ).astype(np.int64)
-    first = so[np.nonzero(head)[0]]
-    np.minimum(hits, 0xFFFF, out=hits)
-    pb = (u2 // n_clumps).astype(np.int64)   # bunch id per candidate
-    pc = (u2 % n_clumps).astype(np.int64)
+    pb, pc, hits, fw = raw
 
-    keep = hits > mm_bunch[pb]
-    kb = pb[keep]
-    srt = np.lexsort((first[keep], -hits[keep], kb))
-    kb = kb[srt]
-    kc = pc[keep][srt]
-    kh = hits[keep][srt]
-    # expand bunch candidate lists to members, applying the per-member
-    # inner skip (bunch hits vs the member's threshold)
-    cands_per_b = np.bincount(kb, minlength=n_bunches)
-    bstart = np.concatenate(([0], np.cumsum(cands_per_b)))
-    memb = np.arange(b1)
-    mb = memb // qbunch
-    reps = cands_per_b[mb]
-    mrep = np.repeat(memb, reps)                 # member per expanded cand
-    total_e = int(reps.sum())
-    csr = np.concatenate(([0], np.cumsum(reps)[:-1]))
-    src = (np.arange(total_e) - np.repeat(csr, reps)
-           + np.repeat(bstart[mb], reps))
-    kc_m = kc[src]
-    ok = kh[src] > mm_inner[mrep]
-    mrep, kc_m = mrep[ok], kc_m[ok]
-    cands_per_q = np.bincount(mrep, minlength=b1)
-    offs = np.zeros(n + 1, dtype=np.int64)
-    offs[1: b1 + 1] = np.cumsum(cands_per_q + nb)
-    offs[b1 + 1:] = offs[b1]
-    out = np.empty(int(offs[b1]), dtype=np.int64)
-    csum = np.concatenate(([0], np.cumsum(cands_per_q)))
-    out[offs[mrep] + (np.arange(len(mrep)) - csum[mrep])] = kc_m
-    if nb:
-        dst = (offs[:b1, None] + cands_per_q[:, None] +
-               np.arange(nb)[None, :]).ravel()
-        out[dst] = np.tile(bad_arr, b1)
-    boffs = np.zeros(n_bunches + 1, dtype=np.int64)
-    boffs[1:] = np.cumsum(cands_per_b)
-    vis = Visits(flat=out, offs=offs, full=full, bflat=kc, boffs=boffs,
-                 qbunch=qbunch, bad_list=bad_arr)
+    vis = assemble_accel_visits(n, b0, b1, qbunch, n_bunches, bad_arr,
+                                full, pb, pc, hits, fw, mm_bunch,
+                                mm_inner)
 
     # sound per-unit prefilter for clear unibins (q-gram pigeonhole at
     # unit granularity; cannot drop any winner -- see build_unit_index).
