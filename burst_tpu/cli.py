@@ -315,8 +315,13 @@ def run(a) -> int:
     elif a["shards"] > 1:
         from .parallel.mesh import compute_ed_matrix_sharded
         ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])
-    else:
+    elif a["mode"] == "ANY":
         ed = engine.compute_ed_matrix(qd, rd, smat)
+    else:
+        # full path: streamed running-min selection, never the dense
+        # [numUnibins, tot_units] matrix (burst.c:4318-4521)
+        ed = None
+        sel = engine.compute_ed_select(qd, rd, a["mode"], smat)
     ph.mark("Alignment phase A")
 
     with open(a["out"], "w") as fh:
@@ -332,7 +337,10 @@ def run(a) -> int:
             ph.mark("Reporting")
             ph.done()
             return 0
-        juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
+        if ed is None:
+            juni, refpos, eds = sel
+        else:
+            juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
         pod_order = None
         win_cols = None
         if visits is not None:
@@ -374,7 +382,10 @@ def _pin_platform():
     if want:
         try:
             import jax
-            jax.config.update("jax_platforms", want)
+            # never override an explicit in-process choice (tests pin
+            # cpu via jax.config before calling main in-process)
+            if not jax.config.jax_platforms:
+                jax.config.update("jax_platforms", want)
         except Exception:
             pass
 

@@ -191,6 +191,27 @@ def _unit_lb(rd: RefData, granularity: int = 64):
     return lbs
 
 
+def _tile_budget_bytes() -> int:
+    """Device-resident tile budget. Buckets under it stay pinned in HBM
+    (cached across batches); buckets over it stream in double-buffered
+    slabs so a database far larger than HBM still runs on one chip
+    (the reference's headline DB is 31.5 GB vs 16 GB on a v5e:
+    /root/reference/README.md:16). Tunable: BURST_TPU_TILE_HBM_MB."""
+    import os
+    mb = float(os.environ.get("BURST_TPU_TILE_HBM_MB", "8192"))
+    return int(mb * (1 << 20))
+
+
+def _slab_rows_for(n_rows: int, width: int) -> int | None:
+    """None = the [n_rows, width] tile matrix fits the resident budget;
+    else the slab height (multiple of 8) sized so two slabs in flight
+    stay under the budget."""
+    if n_rows * width <= _tile_budget_bytes():
+        return None
+    rows = max(1024, _tile_budget_bytes() // (2 * max(width, 1)))
+    return -(-rows // 8) * 8
+
+
 def _myers_pairs_dispatch(peq_dev, tiles_dev, pidx, tidx, W: int):
     """Pallas pair kernel on TPU when the block shape fits; jnp scan
     otherwise (CPU tests, odd shapes). Both are bit-exact."""
@@ -215,17 +236,31 @@ def _myers_cross_dispatch(pq, tb, W: int):
     return myers.myers_min_ed_cross(pq, tb, W)
 
 
-def compute_ed_matrix(qd: QueryData, rd: RefData,
-                      smat: np.ndarray | None = None) -> np.ndarray:
-    """Phase A: [numUnibins, tot_units] uint8 min-ED matrix (clipped 255)."""
-    if smat is None:
-        smat = score_matrix()
-    nj = len(qd.seqs)
-    ed = np.full((nj, rd.tot_units), 255, dtype=np.uint8)
+def iter_ed_blocks(qd: QueryData, rd: RefData, smat: np.ndarray,
+                   max_pending: int = 16):
+    """Stream phase-A blocks: yields (rows, poss, block_u8) host tiles
+    of the min-ED matrix without ever assembling it.
+
+    Device dispatch runs ahead of the host by up to `max_pending`
+    blocks (fetched in one batched device_get per group, so the RPC
+    round trips stay amortized); host memory is O(block), not
+    O(nj x tot_units)."""
+    import jax
+
     qbuckets = _bucket_queries(qd)
     ubuckets = _bucket_units(rd)
     qmat, qlens_all, _ = _query_matrix(qd)
     pending = []
+
+    def _drain():
+        host = jax.device_get([b for _, _, b, _, _ in pending])
+        out = []
+        for (rws, pss, _, nq, nt), block in zip(pending, host):
+            block = np.minimum(block, 255).astype(np.uint8)
+            out.append((rws, pss, block[:nq, :nt]))
+        pending.clear()
+        return out
+
     for W, rows in sorted(qbuckets.items()):
         m_pad = W * 32
         rows_a = np.array(rows, dtype=np.int64)
@@ -248,13 +283,104 @@ def compute_ed_matrix(qd: QueryData, rd: RefData,
                     nt = min(tchunk, len(poss) - t0)
                     pending.append((rows[q0:q0 + nq], poss[t0:t0 + nt],
                                     block, nq, nt))
+                    if len(pending) >= max_pending:
+                        yield from _drain()
     if pending:
-        import jax
-        host = jax.device_get([b for _, _, b, _, _ in pending])
-        for (rws, pss, _, nq, nt), block in zip(pending, host):
-            block = np.minimum(block, 255).astype(np.uint8)
-            ed[np.ix_(rws, pss)] = block[:nq, :nt]
+        yield from _drain()
+
+
+def compute_ed_matrix(qd: QueryData, rd: RefData,
+                      smat: np.ndarray | None = None) -> np.ndarray:
+    """Phase A: [numUnibins, tot_units] uint8 min-ED matrix (clipped 255).
+
+    Materializes the dense matrix -- fine for test-scale runs and for
+    the accel path's few full-scan fallback rows; the production full
+    path streams via compute_ed_select instead (burst.c:4318-4521
+    streams with a running budget the same way)."""
+    if smat is None:
+        smat = score_matrix()
+    nj = len(qd.seqs)
+    ed = np.full((nj, rd.tot_units), 255, dtype=np.uint8)
+    for rws, pss, block in iter_ed_blocks(qd, rd, smat,
+                                          max_pending=1 << 30):
+        ed[np.ix_(rws, pss)] = block
     return ed
+
+
+def compute_ed_select(qd: QueryData, rd: RefData, mode: str,
+                      smat: np.ndarray | None = None,
+                      compact_at: int = 1 << 22):
+    """Streamed phase A + winner selection: byte-equivalent to
+    select_pods(qd, rd, compute_ed_matrix(qd, rd, smat), mode) with
+    host memory O(numUniq + winners + block) instead of the dense
+    [numUnibins, tot_units] matrix (burst.c:4318-4521's running-budget
+    sweep, re-expressed as a running min over streamed device blocks).
+
+    Returns (juni, refpos, eds) in the same (row-major) order the dense
+    nonzero scan produces."""
+    if smat is None:
+        smat = score_matrix()
+    nu = qd.num_uniq
+    budgets = qd.ed
+    budj = budgets[qd.six]                       # per unibin row
+    cj: list[np.ndarray] = []
+    cp: list[np.ndarray] = []
+    ce: list[np.ndarray] = []
+    n_cand = 0
+    if mode == "FORAGE":
+        for rws, pss, block in iter_ed_blocks(qd, rd, smat):
+            rws = np.asarray(rws, dtype=np.int64)
+            pss = np.asarray(pss, dtype=np.int64)
+            r, c = np.nonzero(block <= budj[rws][:, None])
+            cj.append(rws[r])
+            cp.append(pss[c])
+            ce.append(block[r, c].astype(np.int64))
+        jj = np.concatenate(cj) if cj else np.zeros(0, np.int64)
+        pp = np.concatenate(cp) if cp else np.zeros(0, np.int64)
+        ee = np.concatenate(ce) if ce else np.zeros(0, np.int64)
+        srt = np.lexsort((pp, jj))
+        return jj[srt], pp[srt], ee[srt]
+
+    # tie modes: running per-unique minimum (strand-folded via six)
+    best = np.full(nu, 255, dtype=np.int64)
+
+    def _compact():
+        nonlocal n_cand
+        kept_j, kept_p, kept_e = [], [], []
+        for j, p, e in zip(cj, cp, ce):
+            k = e == best[qd.six[j]]
+            kept_j.append(j[k])
+            kept_p.append(p[k])
+            kept_e.append(e[k])
+        cj[:], cp[:], ce[:] = kept_j, kept_p, kept_e
+        n_cand = sum(len(j) for j in cj)
+
+    for rws, pss, block in iter_ed_blocks(qd, rd, smat):
+        rws = np.asarray(rws, dtype=np.int64)
+        pss = np.asarray(pss, dtype=np.int64)
+        sixb = qd.six[rws]
+        # keep entries at or under the running min BEFORE this block
+        # tightens it: new-min entries survive, stale ones compact away
+        cap = np.minimum(budj[rws], best[sixb])
+        r, c = np.nonzero(block <= cap[:, None])
+        if len(r):
+            cj.append(rws[r])
+            cp.append(pss[c])
+            ce.append(block[r, c].astype(np.int64))
+            n_cand += len(r)
+        np.minimum.at(best, sixb,
+                      block.min(axis=1).astype(np.int64))
+        if n_cand > compact_at:
+            _compact()
+    _compact()
+    valid = best <= budgets
+    jj = np.concatenate(cj) if cj else np.zeros(0, np.int64)
+    pp = np.concatenate(cp) if cp else np.zeros(0, np.int64)
+    ee = np.concatenate(ce) if ce else np.zeros(0, np.int64)
+    k = valid[qd.six[jj]]
+    jj, pp, ee = jj[k], pp[k], ee[k]
+    srt = np.lexsort((pp, jj))
+    return jj[srt], pp[srt], ee[srt]
 
 
 def _pow2_ceil(n: int) -> int:
@@ -430,7 +556,15 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
             m_pad = int(W) * 32
             lp = int(lb) + m_pad
             lp = -(-lp // 64) * 64
-            pos2row, tiles_dev = _tiles_device(rd, int(lb), lp - int(lb))
+            nbkt = int(np.count_nonzero(_unit_lb(rd) == lb))
+            if _slab_rows_for(nbkt, lp) is not None:
+                # bucket over the HBM tile budget: winners are few, so
+                # upload a compact submatrix of just their tiles
+                pos2row, tiles_dev = _winner_tiles_device(
+                    rd, int(lb), lp - int(lb), refpos[grp])
+            else:
+                pos2row, tiles_dev = _tiles_device(rd, int(lb),
+                                                   lp - int(lb))
             row2local, peq_dev = _peq_device(qd, int(W), smat)
             # windowed subset: tie span + scan rows + budget must fit Lw
             qmax = int(qlens_all[juni[grp]].max()) if grp.any() else 2
@@ -483,8 +617,7 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
 
 def align(qd: QueryData, rd: RefData, mode: str,
           smat: np.ndarray | None = None):
-    ed = compute_ed_matrix(qd, rd, smat)
-    juni, refpos, eds = select_pods(qd, rd, ed, mode)
+    juni, refpos, eds = compute_ed_select(qd, rd, mode, smat)
     return rescore_winners(qd, rd, juni, refpos, eds, mode, smat)
 
 
@@ -1245,6 +1378,10 @@ def accel_scan_fused(qd: QueryData, rd: RefData, acc,
     mm_bunch = np.where(kload < lns, lns - kload, 0)
     mm_inner = np.where(kload < lns, lns - kload, 1)
     aq_off, aqw, aqm, _ = _ambig_word_lists(qd, b0, k, acc.z)
+    lbmax = int(_unit_lb(rd).max()) if tot_units else 64
+    if _pow2_ceil(max(1, tot_units)) * (lbmax + 32) > \
+            _tile_budget_bytes():
+        return None  # DB over the HBM budget: two-step path streams
     smat_dev = _smat_device(rd, smat)
     tiles_dev = _tiles_device_all(rd)
     out = _scour_device_rows(
@@ -1409,6 +1546,14 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
     for W in np.unique(qws):
         for lb in np.unique(lbs[qws == W]):
             sel = order[(qws == W) & (lbs == lb)]
+            nbkt = int(np.count_nonzero(_unit_lb(rd) == lb))
+            slab = _slab_rows_for(nbkt, int(lb) + 32)
+            if slab is not None:
+                # bucket exceeds the HBM tile budget: double-buffered
+                # slab rotation; results come back pre-resolved
+                pending.extend(_pairs_slab_stream(
+                    qd, rd, sel, pj, pp, int(W), int(lb), slab, smat))
+                continue
             pos2row, tiles_dev = _tiles_device(rd, int(lb), 32)
             trows = pos2row[pp[sel]]
             row2local, peq_dev = _peq_device(qd, int(W), smat)
@@ -1430,6 +1575,77 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
         for (part, _), h in zip(pending, host):
             out[part] = (h[0] if h.ndim == 2 else h)[: len(part)]
     return out
+
+
+def _winner_tiles_device(rd: RefData, lb: int, pad: int, positions):
+    """Compact device tile matrix holding only the given sorted-unit
+    positions (rescore against an over-budget bucket: the winner set is
+    tiny next to the bucket, so gathering their rows host-side and
+    uploading just those bounds HBM at O(winners))."""
+    import jax.numpy as jnp
+    uniq = np.unique(np.asarray(positions, dtype=np.int64))
+    mat = np.zeros((max(len(uniq), 1), lb + pad), dtype=np.uint8)
+    for i, p in enumerate(uniq):
+        s = rd.seqs[rd.ix_srt[p]]
+        mat[i, : len(s)] = s
+    if mat.shape[0] % 8:
+        mat = _pad_rows(mat, -(-mat.shape[0] // 8) * 8)
+    pos2row = np.full(rd.tot_units, -1, dtype=np.int64)
+    pos2row[uniq] = np.arange(len(uniq))
+    return pos2row, jnp.asarray(mat)
+
+
+def _pairs_slab_stream(qd: QueryData, rd: RefData, sel, pj, pp, W: int,
+                       lb: int, slab: int, smat: np.ndarray):
+    """Phase-A pairs against a bucket too big for resident HBM tiles:
+    pairs are grouped by tile slab; slab i+1 uploads and dispatches
+    while slab i's results drain (one slab-deep pipeline bounds device
+    memory at two slabs). Returns pre-resolved (part, host result)
+    chunks compatible with the deferred-pending protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    bpos = np.nonzero(_unit_lb(rd) == lb)[0]
+    tmat, pos2row = _tile_matrix(rd, lb, bpos, 32)
+    row2local, peq_dev = _peq_device(qd, W, smat)
+    trows = pos2row[pp[sel]]
+    so = np.argsort(trows, kind="stable")
+    sel_s, trows_s = sel[so], trows[so]
+    sids = trows_s // slab
+
+    def _resolve(chunks, into):
+        host = jax.device_get([d for _, d in chunks])
+        for (part, _), h in zip(chunks, host):
+            into.append((part, h))
+
+    resolved: list = []
+    inflight: list = []
+    for sid in np.unique(sids):
+        g0, g1 = np.searchsorted(sids, [sid, sid + 1])
+        lo = int(sid) * slab
+        hs = tmat[lo: lo + slab]
+        if hs.shape[0] % 8:
+            hs = _pad_rows(hs, -(-hs.shape[0] // 8) * 8)
+        tiles_dev = jnp.asarray(hs)
+        part_all = sel_s[g0:g1]
+        prows = row2local[pj[part_all]]
+        tloc = trows_s[g0:g1] - lo
+        chunks = []
+        pchunk = min(QCHUNK * 4, _pow2_ceil(g1 - g0))
+        for s0 in range(0, g1 - g0, pchunk):
+            part = part_all[s0:s0 + pchunk]
+            pidx = np.zeros(pchunk, np.int32)
+            tidx = np.zeros(pchunk, np.int32)
+            pidx[: len(part)] = prows[s0:s0 + pchunk]
+            tidx[: len(part)] = tloc[s0:s0 + pchunk]
+            chunks.append((part, _myers_pairs_dispatch(
+                peq_dev, tiles_dev, pidx, tidx, W)))
+        if inflight:
+            _resolve(inflight, resolved)
+        inflight = chunks
+    if inflight:
+        _resolve(inflight, resolved)
+    return resolved
 
 
 def accel_pod_order(qd: QueryData, rd: RefData, visits: Visits,

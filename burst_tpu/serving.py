@@ -142,7 +142,8 @@ class Aligner:
                     qd, self.rd, visits, self.smat, defer=True)
         else:
             visits = None
-            ed = engine.compute_ed_matrix(qd, self.rd, self.smat)
+            ed = engine.compute_ed_matrix(qd, self.rd, self.smat) \
+                if mode == "ANY" else None
         if mode == "ANY":
             if isinstance(ed, engine.SparseED):
                 modes.report_any_accel(ed, visits, qd, self.rd, writer,
@@ -150,7 +151,13 @@ class Aligner:
             else:
                 modes.report_any(ed, qd, self.rd, writer, self.smat)
             return buf.getvalue().encode("latin-1")
-        juni, refpos, eds = engine.select_pods(qd, self.rd, ed, mode)
+        if ed is None:
+            # non-accel full path: streamed selection, no dense matrix
+            juni, refpos, eds = engine.compute_ed_select(
+                qd, self.rd, mode, self.smat)
+        else:
+            juni, refpos, eds = engine.select_pods(qd, self.rd, ed,
+                                                   mode)
         pod_order = win_cols = None
         if visits is not None:
             pod_order = engine.accel_pod_order(qd, self.rd, visits,
