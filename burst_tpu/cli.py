@@ -382,9 +382,12 @@ def _pin_platform():
     if want:
         try:
             import jax
-            # never override an explicit in-process choice (tests pin
-            # cpu via jax.config before calling main in-process)
-            if not jax.config.jax_platforms:
+            cur = jax.config.jax_platforms
+            # the env var wins over the sitecustomize plugin default
+            # (which force-includes a probeable-and-stallable TPU
+            # backend); an explicit in-process pin that does not name
+            # it is kept (tests pin plain "cpu" before calling main)
+            if cur != want and (not cur or "axon" in cur.split(",")):
                 jax.config.update("jax_platforms", want)
         except Exception:
             pass
