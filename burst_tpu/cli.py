@@ -56,7 +56,8 @@ def parse_args(argv):
         "makedb": False, "dbtype": "QUICK", "db_qlen": 500,
         "rebase": False, "rebase_amt": 500, "dedupe": False,
         "threads": 1, "skipambig": False, "fp": False, "prepass": 0,
-        "heur": False, "quiet": False, "shards": 1, "latency": 16,
+        "heur": False, "quiet": False, "shards": 1, "qshards": 1,
+        "latency": 16,
         "kmer": int(os.environ.get("BURST_TPU_SCOUR_N", "15")),
     }
     i = 1
@@ -181,6 +182,9 @@ def parse_args(argv):
                                    "argument"))
         elif arg == "--shards":
             a["shards"] = int(need("--shards requires integer argument"))
+        elif arg == "--qshards":
+            a["qshards"] = int(need("--qshards requires integer "
+                                    "argument"))
         elif arg == "--kmer":
             a["kmer"] = int(need("--kmer requires integer argument"))
         elif arg in ("--help", "-h"):
@@ -307,14 +311,15 @@ def run(a) -> int:
             if a["shards"] > 1:
                 from .parallel.mesh import (
                     compute_ed_matrix_accel_sharded)
-                ed = compute_ed_matrix_accel_sharded(qd, rd, visits,
-                                                     smat, a["shards"])
+                ed = compute_ed_matrix_accel_sharded(
+                    qd, rd, visits, smat, a["shards"], a["qshards"])
             else:
                 ed = engine.compute_ed_matrix_accel(qd, rd, visits,
                                                     smat)
     elif a["shards"] > 1:
         from .parallel.mesh import compute_ed_matrix_sharded
-        ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"])
+        ed = compute_ed_matrix_sharded(qd, rd, smat, a["shards"],
+                                       q_shards=a["qshards"])
     elif a["mode"] == "ANY":
         ed = engine.compute_ed_matrix(qd, rd, smat)
     else:
@@ -351,7 +356,7 @@ def run(a) -> int:
             from .parallel.mesh import rescore_winners_sharded
             pods = rescore_winners_sharded(qd, rd, juni, refpos, eds,
                                            a["mode"], smat, a["shards"],
-                                           pod_order)
+                                           pod_order, a["qshards"])
         else:
             pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
                                           a["mode"], smat, pod_order,

@@ -738,6 +738,70 @@ def bunch_thresholds(qd: QueryData, b1: int, k: int, qbunch: int,
     return mm_bunch, mm_inner, n_bunches
 
 
+def _clear_row_words(qd: QueryData, r0: int, r1: int, k: int,
+                     qidx_parts: list, word_parts: list) -> None:
+    """Rolling k-mer words of the clear (pure-ACGT) unibin rows
+    [r0, r1), appended as (row-index, word) column pairs."""
+    if r1 <= r0:
+        return
+    qmat, qlens_all, _ = _query_matrix(qd)
+    clear = np.arange(r0, r1)
+    lens_c = qlens_all[clear]
+    pw = (4 ** np.arange(k - 1, -1, -1, dtype=np.int64))
+    for ln in np.unique(lens_c):
+        rows = clear[lens_c == ln]
+        if ln < k:
+            continue
+        sub = qmat[rows, :ln].astype(np.int64) - 1
+        nwin = ln - k + 1
+        words = np.zeros((len(rows), nwin), dtype=np.int64)
+        for t in range(k):                       # k passes, no 3-D temp
+            words += sub[:, t: t + nwin] * pw[t]
+        qidx_parts.append(np.repeat(rows, nwin))
+        word_parts.append(words.ravel())
+
+
+def _bunch_words_padded(qd: QueryData, r0: int, b1: int, qbunch: int,
+                        k: int):
+    """Per-bunch deduped word lists with MAX-multiplicity weights for
+    the fully-clear bunches covering rows [r0, b1) (the reference's
+    shared bunch scour, burst.c:4096-4119), packed left into
+    (wmat [nB, T] int32, wgt [nB, T] int32, nwords [nB]) -- or None
+    when no row yields a word."""
+    qp, wp = [], []
+    _clear_row_words(qd, r0, b1, k, qp, wp)
+    if not qp:
+        return None
+    qidx = np.concatenate(qp)
+    words = np.concatenate(wp)
+    span = np.int64(1) << np.int64(2 * k)
+    ukey, mult = np.unique(qidx * span + words, return_counts=True)
+    ub = (ukey // span - r0) // qbunch
+    uw = ukey % span
+    bkey = ub * span + uw
+    bso = np.argsort(bkey, kind="stable")
+    bks = bkey[bso]
+    bhead = np.empty(len(bks), dtype=bool)
+    bhead[0] = True
+    np.not_equal(bks[1:], bks[:-1], out=bhead[1:])
+    bgid = np.cumsum(bhead) - 1
+    bmax = np.zeros(int(bgid[-1]) + 1, dtype=np.int64)
+    np.maximum.at(bmax, bgid, mult[bso])
+    gw = (bks[bhead] % span).astype(np.int64)
+    gb = (bks[bhead] // span).astype(np.int64)
+    nB = -(-(b1 - r0) // qbunch)
+    nwords = np.bincount(gb, minlength=nB).astype(np.int32)
+    T = int(nwords.max())
+    wmat = np.zeros((nB, T), dtype=np.int32)
+    wgt = np.ones((nB, T), dtype=np.int32)
+    col = np.arange(len(gw)) - np.repeat(
+        np.concatenate(([0], np.cumsum(nwords)))[:-1].astype(np.int64),
+        nwords)
+    wmat[gb, col] = gw.astype(np.int32)
+    wgt[gb, col] = np.minimum(bmax, 0x7FFFFFFF).astype(np.int32)
+    return wmat, wgt, nwords
+
+
 def bunch_word_multiset(qd: QueryData, acc, b0: int, b1: int,
                         qbunch: int, k: int):
     """Per-(bunch, word) k-mer multiset of the accelerator-eligible
@@ -756,22 +820,7 @@ def bunch_word_multiset(qd: QueryData, acc, b0: int, b1: int,
             qidx_parts.append(np.full(words.size, j, dtype=np.int64))
             word_parts.append(words)
     # clear unibins: vectorized rolling k-mers, grouped by length
-    if b1 > b0:
-        qmat, qlens_all, _ = _query_matrix(qd)
-        clear = np.arange(b0, b1)
-        lens_c = qlens_all[clear]
-        pw = (4 ** np.arange(k - 1, -1, -1, dtype=np.int64))
-        for ln in np.unique(lens_c):
-            rows = clear[lens_c == ln]
-            if ln < k:
-                continue
-            sub = qmat[rows, :ln].astype(np.int64) - 1
-            nwin = ln - k + 1
-            words = np.zeros((len(rows), nwin), dtype=np.int64)
-            for t in range(k):                       # k passes, no 3-D temp
-                words += sub[:, t: t + nwin] * pw[t]
-            qidx_parts.append(np.repeat(rows, nwin))
-            word_parts.append(words.ravel())
+    _clear_row_words(qd, b0, b1, k, qidx_parts, word_parts)
     if not qidx_parts:
         return None
     qidx = np.concatenate(qidx_parts)
@@ -1155,8 +1204,15 @@ def _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
     from .kernels import scour_device
     from .native import scour_native, _unit_ids_clump_grouped
 
-    if qbunch != 1 or b1 <= b0:
+    if b1 <= b0:
         return None
+    if qbunch != 1:
+        if fused_ctx is not None:
+            return None                 # fused chain is QBUNCH=1-only
+        return _scour_device_bunches(qd, rd, acc, b0, b1, qbunch, k,
+                                     mm_bunch, mm_inner, qmat,
+                                     qlens_all, aq_off, aqw, aqm,
+                                     n_clumps)
     if not _unit_ids_clump_grouped(acc.u_csr, VECSZ):
         return None
     tabs = scour_device.get_tables(acc)
@@ -1266,6 +1322,147 @@ def _scour_device_rows(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
         "ov_rows": np.nonzero(ov)[0] + b0,
     }
     return res, pairinfo
+
+
+def _scour_device_bunches(qd, rd, acc, b0, b1, qbunch, k, mm_bunch,
+                          mm_inner, qmat, qlens_all, aq_off, aqw, aqm,
+                          n_clumps):
+    """QBUNCH>1 device scour: two overlapped dispatches reproduce the
+    native bunch walk bit-for-bit (burst.c:4018-4136 at the reference's
+    default QBUNCH up to 16).
+
+    Dispatch A (scour_bunch_rows): one row per fully-clear bunch,
+    deduped words weighted by MAX member multiplicity -> the bunch
+    candidate clump lists. Dispatch B (scour_rows with the clump
+    filter saturated): one row per member -> the exact per-member
+    passing unit keys. Bunches containing ambiguous rows (the sorted
+    prefix [0, ceil(b0/qbunch)*qbunch)) run on the host C++ scour
+    while both device dispatches are in flight. Overflowing bunch rows
+    re-scour on the host candidates-only; overflowing member rows
+    re-run the host unit prefilter; both splice exactly."""
+    from .kernels import scour_device
+    from .native import scour_native, _unit_ids_clump_grouped
+
+    g0 = -(-b0 // qbunch)              # first fully-clear bunch
+    r0 = g0 * qbunch
+    if r0 >= b1:
+        return None
+    if not _unit_ids_clump_grouped(acc.u_csr, VECSZ):
+        return None
+    tabs = scour_device.get_tables(acc)
+    if tabs is None:
+        return None
+    tot_units = rd.tot_units
+    bwp = _bunch_words_padded(qd, r0, b1, qbunch, k)
+    if bwp is None:
+        return None
+    wmat, wgt, nwords = bwp
+    nB = wmat.shape[0]
+    nm = b1 - r0
+    try:
+        fetch_b = scour_device.scour_bunch_rows(
+            wmat, wgt, nwords, mm_bunch[g0:],
+            np.full(nB, 1 << 60, np.int64),       # no unit winners
+            tabs, tot_units, defer=True)
+        fetch_m = scour_device.scour_rows(
+            qmat[r0:b1], qlens_all[r0:b1], k,
+            np.full(nm, 1 << 60, np.int64),       # no clump winners
+            mm_inner[r0:b1], tabs, n_clumps, tot_units, defer=True)
+    except Exception:
+        return None
+    # ambiguous rows + the straddling bunch on the host meanwhile
+    if r0 > 0:
+        pre = scour_native(qmat, qlens_all, b0, r0, qbunch, k, aq_off,
+                           aqw, aqm, acc.csr, n_clumps, mm_bunch[:g0],
+                           mm_inner[:r0], u_csr=acc.u_csr,
+                           tot_units=tot_units, vecsz=VECSZ)
+        if pre is None:
+            return None
+    else:
+        z = np.zeros(0, np.int64)
+        pre = (z, z, z, z, z, z)
+    try:
+        dev_b = fetch_b()
+        dev_m = fetch_m()
+    except RuntimeError:
+        return None
+    abf, abh, abc, amf, amc, auk = pre
+
+    # bunch candidates: splice host re-scours of overflowed bunches
+    gj, gcl = dev_b["cj"], dev_b["ccl"]
+    ghits, gminw = dev_b["chits"], dev_b["cminw"]
+    ovb = dev_b["ov"]
+    if ovb.any():
+        keep = ~ovb[gj]
+        gj, gcl = gj[keep], gcl[keep]
+        ghits, gminw = ghits[keep], gminw[keep]
+        aj, acl, ah, amw = [gj], [gcl], [ghits], [gminw]
+        for bg in np.nonzero(ovb)[0]:
+            j_lo = r0 + int(bg) * qbunch
+            j_hi = min(b1, j_lo + qbunch)
+            sub = np.ascontiguousarray(qmat[j_lo:j_hi])
+            zb = np.zeros(1, np.int64)
+            sres = scour_native(
+                sub, qlens_all[j_lo:j_hi], 0, j_hi - j_lo, qbunch, k,
+                np.zeros(j_hi - j_lo + 1, np.int64), zb, zb, acc.csr,
+                n_clumps, mm_bunch[g0 + bg: g0 + bg + 1],
+                mm_inner[j_lo:j_hi])
+            if sres is None:
+                return None
+            sbf, sbh = sres[0], sres[1]
+            aj.append(np.full(len(sbf), bg, np.int64))
+            acl.append(sbf)
+            ah.append(sbh)
+            # native rank encoded below the device minw range keeps
+            # the (hits desc, touch asc) order through the lexsort
+            amw.append(-(1 << 40) + np.arange(len(sbf), dtype=np.int64))
+        gj, gcl = np.concatenate(aj), np.concatenate(acl)
+        ghits, gminw = np.concatenate(ah), np.concatenate(amw)
+    srt = np.lexsort((gcl, gminw, -ghits, gj))
+    gj, gcl, ghits = gj[srt], gcl[srt], ghits[srt]
+    bcnt_dev = np.bincount(gj, minlength=nB).astype(np.int64)
+
+    # member expansion with the per-member inner skip (burst.c:4163-68)
+    bstart = np.concatenate(([0], np.cumsum(bcnt_dev)))
+    members = np.arange(r0, b1, dtype=np.int64)
+    mb = (members - r0) // qbunch
+    reps = bcnt_dev[mb]
+    mrep = np.repeat(members, reps)
+    total_e = int(reps.sum())
+    csr0 = np.concatenate(([0], np.cumsum(reps)))[:-1]
+    src = (np.arange(total_e, dtype=np.int64) - np.repeat(csr0, reps)
+           + np.repeat(bstart[mb], reps))
+    okm = ghits[src] > mm_inner[mrep]
+    mflat_dev = gcl[src][okm]
+    mcnt_dev = np.bincount(mrep[okm] - r0, minlength=nm).astype(np.int64)
+
+    # member-exact unit keys; overflowed member rows re-run on host
+    ovm = dev_m["ov"]
+    uk = dev_m["ukeys"]
+    if ovm.any():
+        uk = uk[~ovm[uk // tot_units]]
+        extra = [uk]
+        for lr in np.nonzero(ovm)[0]:
+            j = r0 + int(lr)
+            sub = np.ascontiguousarray(qmat[j: j + 1])
+            zb = np.zeros(1, np.int64)
+            sres = scour_native(
+                sub, qlens_all[j: j + 1], 0, 1, 1, k,
+                np.zeros(2, np.int64), zb, zb, acc.csr, n_clumps,
+                np.full(1, 1 << 60, np.int64), mm_inner[j: j + 1],
+                u_csr=acc.u_csr, tot_units=tot_units, vecsz=VECSZ)
+            if sres is None:
+                return None
+            extra.append(np.int64(lr) * tot_units + sres[5])
+        uk = np.sort(np.concatenate(extra))
+    ukeys_c = uk + np.int64(r0) * tot_units
+    if auk is None:
+        auk = np.zeros(0, np.int64)
+    return (np.concatenate([abf, gcl]), np.concatenate([abh, ghits]),
+            np.concatenate([abc, bcnt_dev]),
+            np.concatenate([amf, mflat_dev]),
+            np.concatenate([amc, mcnt_dev]),
+            np.concatenate([auk, ukeys_c]))
 
 
 def rd_acc_unit_index(rd: RefData, acc) -> bool:

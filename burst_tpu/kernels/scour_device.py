@@ -111,6 +111,21 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
     live = e < jnp.minimum(total, E)[:, None]
     pos = jnp.where(live, ws + (e - prev), 0)
     u = ids[pos].astype(jnp.int32)
+    return _scour_reduce(u, te, wv, None, live, ov, mm_member,
+                         mm_inner, CAPC, CAPU)
+
+
+def _scour_reduce(u, te, wv, wg, live, ov, mm_member, mm_inner,
+                  CAPC: int, CAPU: int):
+    """Shared scour tail: expanded slots (unit u, owning window te,
+    word value wv, live mask) -> compacted clump candidates + passing
+    unit keys. wg=None means unit weights (the per-query frontend);
+    with wg each slot carries its word's weight, implementing the
+    bunch MAX-multiplicity contribution (burst.c:3258-3284)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, E = u.shape
     cl = u // VECSZ
     # first slot of each (window, clump) run in expansion order: the
     # native walk adds the word weight once per clump transition
@@ -122,7 +137,12 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
     # unavailable (x64 disabled), lax.sort multi-key is exact
     key1 = jnp.where(live, u, DEAD)
     key2 = jnp.where(live, (wv << 1) | mask_new, DEAD)
-    su, sk2 = jax.lax.sort((key1, key2), dimension=1, num_keys=2)
+    if wg is None:
+        su, sk2 = jax.lax.sort((key1, key2), dimension=1, num_keys=2)
+        swg = None
+    else:
+        su, sk2, swg = jax.lax.sort((key1, key2, wg), dimension=1,
+                                    num_keys=2)
     slive = su < DEAD
     sw = sk2 >> 1
     sm = sk2 & 1
@@ -133,10 +153,17 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
         [jnp.ones((n, 1), bool), su[:, 1:] != su[:, :-1]], 1) & slive
     u_end = jnp.concatenate(
         [su[:, 1:] != su[:, :-1], jnp.ones((n, 1), bool)], 1) & slive
-    # "last run start at or before me" is a plain running max of the
-    # start positions (single-operand cummax beats the tuple scan)
-    last_ustart = jax.lax.cummax(jnp.where(u_start, idx, -1), axis=1)
-    uh = idx - last_ustart + 1                        # run len at ends
+    if swg is None:
+        # "last run start at or before me" is a plain running max of
+        # the start positions (single-operand cummax beats tuple scan)
+        last_ustart = jax.lax.cummax(jnp.where(u_start, idx, -1), axis=1)
+        uh = idx - last_ustart + 1                    # run len at ends
+    else:
+        swg_l = jnp.where(slive, swg, 0)
+        ucum = jnp.cumsum(swg_l, axis=1)
+        uzst = jax.lax.cummax(
+            jnp.where(u_start, ucum - swg_l, -1), axis=1)
+        uh = ucum - uzst                              # weighted run sum
 
     cl_start = jnp.concatenate(
         [jnp.ones((n, 1), bool), scl[:, 1:] != scl[:, :-1]], 1) & slive
@@ -145,10 +172,15 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
     # run hit total at the run end = cmask[end] - cmask[start - 1];
     # cmask is nondecreasing, so the run-start baseline propagates as a
     # running max of (cmask - sm) sampled at starts -- no gathers
-    cmask = jnp.cumsum(sm, axis=1)
+    smw = sm if swg is None else sm * swg
+    cmask = jnp.cumsum(smw, axis=1)
     zstart = jax.lax.cummax(
-        jnp.where(cl_start, cmask - sm, -1), axis=1)
+        jnp.where(cl_start, cmask - smw, -1), axis=1)
     hits_cl = cmask - zstart
+    if swg is not None:
+        # the native walk saturates the accumulated hits at 0xFFFF;
+        # positive weights make the final clamp equivalent
+        hits_cl = jnp.minimum(hits_cl, 0xFFFF)
     minw = _segmented_min(jnp.where(slive, sw, DEAD), cl_start)
 
     okrow = ~ov[:, None]
@@ -207,6 +239,175 @@ def _scour_jit(qmat_full, lens_full, mm_m_full, mm_i_full, off,
     return _scour_core(qmat, lens, rank, nzw, start, cnt, ids,
                        mm_member, mm_inner, k, E, CAPC, CAPU, n_clumps,
                        tot_units)
+
+
+def _scour_core_words(wmat, nw, wgt, rank, nzw, start, cnt, ids,
+                      mm_member, mm_inner, E: int, CAPC: int,
+                      CAPU: int):
+    """Scour over explicit per-row word lists with per-word weights
+    (the QBUNCH>1 bunch scour: one row per bunch, words deduped with
+    MAX multiplicity across members, burst.c:4096-4119). Same slot
+    expansion as _scour_core, but the ownership sweep runs as a
+    fori_loop -- T here is the deduped bunch word count (up to
+    qbunch x windows), so the unrolled form would blow up compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    n, T = wmat.shape
+    w = wmat
+    valid_t = jnp.arange(T)[None, :] < nw[:, None]
+    if nzw is None:                          # dense rank table (k<=13)
+        r = rank[jnp.clip(w, 0, rank.shape[0] - 1)].astype(jnp.int32)
+    else:                                    # binary search (k=14/15)
+        loc = jnp.searchsorted(nzw, w).astype(jnp.int32)
+        locc = jnp.minimum(loc, nzw.shape[0] - 1)
+        r = jnp.where(nzw[locc] == w, locc + 1, 0)
+    s = start[r]
+    c = jnp.where(valid_t, cnt[r], 0).astype(jnp.int32)
+    cum = jnp.cumsum(c, axis=1)
+    total = cum[:, -1]
+    ov = total > E
+    e = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None, :], (n, E))
+
+    def body(t, carry):
+        te, prev, ws, wv, wg, c0 = carry
+        ct = jax.lax.dynamic_slice_in_dim(cum, t, 1, 1)       # [n, 1]
+        inside = (ct <= e).astype(jnp.int32)
+        te = te + inside
+        prev = jnp.where(inside.astype(bool), ct, prev)
+        hit = (c0 <= e) & (e < ct)          # slot owned by word t
+        ws = jnp.where(hit, jax.lax.dynamic_slice_in_dim(s, t, 1, 1),
+                       ws)
+        wv = jnp.where(hit, jax.lax.dynamic_slice_in_dim(w, t, 1, 1),
+                       wv)
+        wg = jnp.where(hit, jax.lax.dynamic_slice_in_dim(wgt, t, 1, 1),
+                       wg)
+        return te, prev, ws, wv, wg, ct
+
+    z = jnp.zeros((n, E), jnp.int32)
+    te, prev, ws, wv, wg, _ = jax.lax.fori_loop(
+        0, T, body, (z, z, z, z, z, jnp.zeros((n, 1), jnp.int32)))
+    live = e < jnp.minimum(total, E)[:, None]
+    pos = jnp.where(live, ws + (e - prev), 0)
+    u = ids[pos].astype(jnp.int32)
+    return _scour_reduce(u, te, wv, wg, live, ov, mm_member, mm_inner,
+                         CAPC, CAPU)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("C", "E", "CAPC", "CAPU"))
+def _scour_words_jit(wmat_full, wgt_full, nw_full, mm_m_full,
+                     mm_i_full, off, rank, nzw, start, cnt, ids,
+                     C: int, E: int, CAPC: int, CAPU: int):
+    import jax
+    wmat = jax.lax.dynamic_slice_in_dim(wmat_full, off, C, 0)
+    wgt = jax.lax.dynamic_slice_in_dim(wgt_full, off, C, 0)
+    nw = jax.lax.dynamic_slice_in_dim(nw_full, off, C, 0)
+    mm_member = jax.lax.dynamic_slice_in_dim(mm_m_full, off, C, 0)
+    mm_inner = jax.lax.dynamic_slice_in_dim(mm_i_full, off, C, 0)
+    return _scour_core_words(wmat, nw, wgt, rank, nzw, start, cnt, ids,
+                             mm_member, mm_inner, E, CAPC, CAPU)
+
+
+CHUNK_BUNCH = int(__import__("os").environ.get(
+    "BURST_TPU_SCOUR_BCHUNK", 512))
+
+
+def scour_bunch_rows(wmat: np.ndarray, wgt: np.ndarray,
+                     nwords: np.ndarray, mm_bunch: np.ndarray,
+                     mm_uinner: np.ndarray, tabs: "ScourTables",
+                     tot_units: int, E: int | None = None,
+                     defer: bool = False):
+    """Scour `nB` bunch word-list rows on device.
+
+    wmat/wgt: [nB, T] int32 word values / MAX-multiplicity weights,
+    packed left; nwords: per-row word counts. Returns (like scour_rows)
+    a dict with `ov` [nB], candidate tuples `cj` (bunch row) / `ccl` /
+    `chits` / `cminw`, and `ukeys` = bunchrow*tot_units + unit for
+    units passing hits > mm_uinner (callers expand or ignore them).
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    if E is None:
+        E = int(os.environ.get("BURST_TPU_SCOUR_EB", 4096))
+    nB, T = wmat.shape
+    C = CHUNK_BUNCH
+    Tp = -(-max(T, 1) // 128) * 128
+    npad = max(C, -(-nB // C) * C)
+    factor = getattr(tabs, "cap_factor", 2)
+
+    def dispatch(fac):
+        capc = capu = fac * C
+        wp = np.zeros((npad, Tp), dtype=np.int32)
+        wp[:nB, :T] = wmat
+        gp = np.ones((npad, Tp), dtype=np.int32)
+        gp[:nB, :T] = wgt
+        nwp = np.zeros(npad, dtype=np.int32)
+        nwp[:nB] = nwords
+        mmm = np.full(npad, DEAD, dtype=np.int32)
+        mmm[:nB] = np.minimum(mm_bunch, DEAD - 1)
+        mmi = np.full(npad, DEAD, dtype=np.int32)
+        mmi[:nB] = np.minimum(mm_uinner, DEAD - 1)
+        wp_d = jnp.asarray(wp)
+        gp_d = jnp.asarray(gp)
+        nw_d = jnp.asarray(nwp)
+        mmm_d = jnp.asarray(mmm)
+        mmi_d = jnp.asarray(mmi)
+        out = []
+        for c0 in range(0, npad, C):
+            nr = min(C, max(0, nB - c0))
+            res = _scour_words_jit(
+                wp_d, gp_d, nw_d, mmm_d, mmi_d, jnp.int32(c0),
+                tabs.rank, tabs.nzw, tabs.start, tabs.cnt, tabs.ids,
+                C=C, E=E, CAPC=capc, CAPU=capu)
+            out.append((c0, nr, res))
+        return out
+
+    chunks = dispatch(factor)
+
+    def finish():
+        try:
+            return _chunk_finish_bunch(chunks, nB, tot_units, factor, C)
+        except RuntimeError:
+            if factor >= 4:
+                raise
+            tabs.cap_factor = 4
+            return _chunk_finish_bunch(dispatch(4), nB, tot_units, 4, C)
+
+    return finish if defer else finish()
+
+
+def _chunk_finish_bunch(chunks, n, tot_units, cap_factor: int, C: int):
+    """One device_get over bunch chunks (scour-only _chunk_finish with
+    the bunch chunk width)."""
+    import jax
+
+    capc = capu = cap_factor * C
+    fetched = jax.device_get([r for _, _, r in chunks])
+    ov = np.zeros(n, dtype=bool)
+    parts = {key: [] for key in ("cj", "ccl", "chits", "cminw",
+                                 "ukeys")}
+    for (c0, nr, _), h in zip(chunks, fetched):
+        (ovc, ccount, cj, ccl, chits, cminw, ucount, uj, uu) = h
+        nc, nu = int(ccount), int(ucount)
+        if nc > capc or nu > capu:
+            raise RuntimeError("device scour buffer overflow")
+        ov[c0:c0 + nr] = ovc[:nr]
+        parts["cj"].append(cj[:nc].astype(np.int64) + c0)
+        parts["ccl"].append(ccl[:nc].astype(np.int64))
+        parts["chits"].append(chits[:nc].astype(np.int64))
+        parts["cminw"].append(cminw[:nc].astype(np.int64))
+        parts["ukeys"].append(
+            (uj[:nu].astype(np.int64) + c0) * tot_units
+            + uu[:nu].astype(np.int64))
+    out = {"ov": ov}
+    for key in ("cj", "ccl", "chits", "cminw", "ukeys"):
+        out[key] = np.concatenate(parts[key]) if parts[key] \
+            else np.zeros(0, np.int64)
+    return out
 
 
 def _build_peq_dev(qmat, lens, smat_dev, W: int):

@@ -36,16 +36,27 @@ def make_mesh(n_devices: int | None = None, axis: str = "db") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2(n_shards: int, q_shards: int = 1) -> Mesh:
+    """2D (q x db) mesh: query blocks data-parallel along 'q', the
+    reference database model-parallel along 'db' (SURVEY.md section
+    2.3's two decompositions composed). q_shards=1 degenerates to the
+    db-only layout."""
+    devs = jax.devices()[: n_shards * q_shards]
+    return Mesh(np.array(devs).reshape(q_shards, n_shards),
+                ("q", "db"))
+
+
 @functools.partial(jax.jit, static_argnames=("W", "mesh"))
 def _sharded_scan(peq, tiles, W: int, mesh: Mesh):
-    """Scan [Q] queries against db-sharded [T, Lp] tiles -> [Q, T] ED."""
+    """Scan q-sharded [Q] queries against db-sharded [T, Lp] tiles ->
+    [Q, T] ED (Q must divide by the q axis, T by the db axis)."""
     def per_shard(peq_l, tiles_l):
         return myers.myers_min_ed_cross(peq_l, tiles_l, W)
 
     fn = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(), P("db", None)),
-        out_specs=P(None, "db"),
+        in_specs=(P("q", None, None), P("db", None)),
+        out_specs=P("q", "db"),
         check_vma=False)  # scan carry is constant-initialized per shard
     return fn(peq, tiles)
 
@@ -70,13 +81,23 @@ def _sharded_tiles(rd, n_shards: int, pad: int):
     return got
 
 
+def _pad_peq_q(peq, q_shards: int):
+    """Pad Peq rows to a q_shards multiple; returns (peq_pad, rq)."""
+    R = peq.shape[0]
+    rq = -(-R // q_shards)
+    if rq * q_shards != R:
+        pad = np.zeros((rq * q_shards - R,) + peq.shape[1:], peq.dtype)
+        peq = np.concatenate([np.asarray(peq), pad])
+    return peq, rq
+
+
 def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
-                                    n_shards: int):
-    """Phase A over accelerator candidate pairs with the database
-    sharded across the mesh (the production multi-chip layout,
-    SURVEY.md section 2.3): each device owns a contiguous slab of the
-    sorted unit array; candidate pairs route to the shard owning their
-    unit; queries (Peq tables) are replicated. Per-shard packed
+                                    n_shards: int, q_shards: int = 1):
+    """Phase A over accelerator candidate pairs on a (q x db) mesh
+    (the production multi-chip layout, SURVEY.md section 2.3): each
+    db-shard owns a contiguous slab of the sorted unit array, each
+    q-shard a block of the query Peq rows; candidate pairs route to
+    the (q, db) device owning their (query, unit). Per-shard packed
     (ed, first, last) results merge on the host, which reproduces the
     reference's cross-thread pod consolidation (burst.c:4490-4519) --
     the resulting SparseED is identical to the single-device one, so
@@ -84,11 +105,12 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
     """
     from .. import engine
 
-    mesh = make_mesh(n_shards)
+    mesh = make_mesh2(n_shards, q_shards)
     full_rows = np.nonzero(visits.full)[0]
     if len(full_rows):
         sub = engine._subset_qd(qd, list(full_rows))
-        ed_full = compute_ed_matrix_sharded(sub, rd, smat, n_shards)
+        ed_full = compute_ed_matrix_sharded(sub, rd, smat, n_shards,
+                                            q_shards=q_shards)
     else:
         ed_full = np.zeros((0, rd.tot_units), dtype=np.uint8)
     pj, pp = engine.expand_visit_pairs(qd, rd, visits)
@@ -105,40 +127,49 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
     for W in np.unique(qws):
         sel = order[qws == W]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
+        peq, rq = _pad_peq_q(peq, q_shards)
         tiles_dev, slab, lp = _sharded_tiles(rd, n_shards, 32)
-        shard = pp[sel] // slab
+        qrow = row2local[pj[sel]]
+        qs = qrow // rq
+        ds = pp[sel] // slab
+        shard = qs * n_shards + ds            # flat (q, db) shard id
         tloc = pp[sel] % slab
-        counts = np.bincount(shard, minlength=n_shards)
+        nsh = q_shards * n_shards
+        counts = np.bincount(shard, minlength=nsh)
         pmax = max(int(counts.max()), 1)
-        pidx_m = np.zeros((n_shards, pmax), np.int32)
-        tloc_m = np.zeros((n_shards, pmax), np.int32)
+        pidx_m = np.zeros((q_shards, n_shards, pmax), np.int32)
+        tloc_m = np.zeros((q_shards, n_shards, pmax), np.int32)
         so = np.argsort(shard, kind="stable")
         pos_in_shard = np.empty(len(sel), np.int64)
         off = np.concatenate(([0], np.cumsum(counts)[:-1]))
         pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
-        pidx_m[shard, pos_in_shard] = row2local[pj[sel]].astype(np.int32)
-        tloc_m[shard, pos_in_shard] = tloc.astype(np.int32)
+        pidx_m[qs, ds, pos_in_shard] = (qrow % rq).astype(np.int32)
+        tloc_m[qs, ds, pos_in_shard] = tloc.astype(np.int32)
 
         def per_shard(peq_l, tiles_l, pidx_l, tloc_l):
             return myers.myers_min_ed_gather_pos(
-                peq_l, tiles_l, pidx_l[0], tloc_l[0], int(W))[None]
+                peq_l, tiles_l, pidx_l[0, 0], tloc_l[0, 0],
+                int(W))[None, None]
 
         fn = jax.jit(jax.shard_map(
             per_shard, mesh=mesh,
-            in_specs=(P(), P("db", None), P("db", None), P("db", None)),
-            out_specs=P("db", None, None),
+            in_specs=(P("q", None, None), P("db", None),
+                      P("q", "db", None), P("q", "db", None)),
+            out_specs=P("q", "db", None, None),
             check_vma=False))
         out = np.asarray(fn(jnp.asarray(peq), tiles_dev,
                             jnp.asarray(pidx_m), jnp.asarray(tloc_m)))
-        sed.pe[sel] = np.minimum(out[shard, 0, pos_in_shard], 255)
-        sed.pfirst[sel] = out[shard, 1, pos_in_shard]
-        sed.plast[sel] = out[shard, 2, pos_in_shard]
+        sed.pe[sel] = np.minimum(out[qs, ds, 0, pos_in_shard], 255)
+        sed.pfirst[sel] = out[qs, ds, 1, pos_in_shard]
+        sed.plast[sel] = out[qs, ds, 2, pos_in_shard]
     return sed
 
 
 def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
-                            n_shards: int, pod_order=None):
-    """Phase B with winners routed to the shard owning their unit.
+                            n_shards: int, pod_order=None,
+                            q_shards: int = 1):
+    """Phase B with winners routed to the (q, db) shard owning their
+    (query block, unit slab).
 
     Per-shard full-width tie-aware rescore (kernels/rescore core) over
     the same sharded tile slabs; merged host-side into Pods identical
@@ -148,7 +179,7 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
     from ..kernels.rescore import _CACHE, make_rescore, \
         rescore_finalize_host
 
-    mesh = make_mesh(n_shards)
+    mesh = make_mesh2(n_shards, q_shards)
     n = len(juni)
     gap_q = np.zeros(n, np.int64)
     gap_r = np.zeros(n, np.int64)
@@ -169,43 +200,48 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
     for W in (np.unique(qws) if n else ()):
         sel = order[qws == W]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
+        peq, rq = _pad_peq_q(peq, q_shards)
         m_pad = int(W) * 32
         tiles_dev, slab, lp = _sharded_tiles(rd, n_shards, m_pad)
-        shard = refpos[sel] // slab
+        qrow = row2local[juni[sel]]
+        qs = qrow // rq
+        ds = refpos[sel] // slab
+        shard = qs * n_shards + ds
         tloc = refpos[sel] % slab
-        counts = np.bincount(shard, minlength=n_shards)
+        counts = np.bincount(shard, minlength=q_shards * n_shards)
         pmax = max(int(counts.max()), 1)
-        pidx_m = np.zeros((n_shards, pmax), np.int32)
-        tloc_m = np.zeros((n_shards, pmax), np.int32)
-        qlen_m = np.full((n_shards, pmax), 2, np.int32)
-        bnd_m = np.zeros((n_shards, pmax), np.int32)
+        pidx_m = np.zeros((q_shards, n_shards, pmax), np.int32)
+        tloc_m = np.zeros((q_shards, n_shards, pmax), np.int32)
+        qlen_m = np.full((q_shards, n_shards, pmax), 2, np.int32)
+        bnd_m = np.zeros((q_shards, n_shards, pmax), np.int32)
         so = np.argsort(shard, kind="stable")
         off = np.concatenate(([0], np.cumsum(counts)[:-1]))
         pos_in_shard = np.empty(len(sel), np.int64)
         pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
-        pidx_m[shard, pos_in_shard] = row2local[juni[sel]].astype(np.int32)
-        tloc_m[shard, pos_in_shard] = tloc.astype(np.int32)
-        qlen_m[shard, pos_in_shard] = qlens_all[juni[sel]].astype(np.int32)
-        bnd_m[shard, pos_in_shard] = bound[sel].astype(np.int32)
+        pidx_m[qs, ds, pos_in_shard] = (qrow % rq).astype(np.int32)
+        tloc_m[qs, ds, pos_in_shard] = tloc.astype(np.int32)
+        qlen_m[qs, ds, pos_in_shard] = qlens_all[juni[sel]].astype(np.int32)
+        bnd_m[qs, ds, pos_in_shard] = bound[sel].astype(np.int32)
 
         def per_shard(peq_l, tiles_l, pidx_l, tloc_l, qlen_l, bnd_l):
-            pq = jnp.take(peq_l, pidx_l[0], axis=0)
-            tl = jnp.take(tiles_l, tloc_l[0], axis=0)
-            return jnp.stack(core(pq, qlen_l[0], tl, bnd_l[0],
-                                  int(W)))[None]
+            pq = jnp.take(peq_l, pidx_l[0, 0], axis=0)
+            tl = jnp.take(tiles_l, tloc_l[0, 0], axis=0)
+            return jnp.stack(core(pq, qlen_l[0, 0], tl, bnd_l[0, 0],
+                                  int(W)))[None, None]
 
         fn = jax.jit(jax.shard_map(
             per_shard, mesh=mesh,
-            in_specs=(P(), P("db", None), P("db", None), P("db", None),
-                      P("db", None), P("db", None)),
-            out_specs=P("db", None, None),
+            in_specs=(P("q", None, None), P("db", None),
+                      P("q", "db", None), P("q", "db", None),
+                      P("q", "db", None), P("q", "db", None)),
+            out_specs=P("q", "db", None, None),
             check_vma=False))
         out = np.asarray(fn(jnp.asarray(peq), tiles_dev,
                             jnp.asarray(pidx_m), jnp.asarray(tloc_m),
                             jnp.asarray(qlen_m), jnp.asarray(bnd_m)))
         e, gq, gr, fp, sc = rescore_finalize_host(
-            out[shard, 0, pos_in_shard], out[shard, 1, pos_in_shard],
-            out[shard, 2, pos_in_shard], out[shard, 3, pos_in_shard],
+            out[qs, ds, 0, pos_in_shard], out[qs, ds, 1, pos_in_shard],
+            out[qs, ds, 2, pos_in_shard], out[qs, ds, 3, pos_in_shard],
             qlens_all[juni[sel]])
         out_ed[sel] = e
         gap_q[sel] = gq
@@ -226,9 +262,10 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
 
 
 def compute_ed_matrix_sharded(qd, rd, smat, n_shards: int,
-                              tile_gran: int = 64) -> np.ndarray:
+                              tile_gran: int = 64,
+                              q_shards: int = 1) -> np.ndarray:
     """Sharded phase A producing the same [numUnibins, tot_units] matrix."""
-    mesh = make_mesh(n_shards)
+    mesh = make_mesh2(n_shards, q_shards)
     nj = len(qd.seqs)
     ed = np.full((nj, rd.tot_units), 255, dtype=np.uint8)
 
@@ -249,7 +286,8 @@ def compute_ed_matrix_sharded(qd, rd, smat, n_shards: int,
             s = qd.seqs[j]
             qarr[i, : len(s)] = s
             qlens[i] = len(s)
-        peq = myers.build_peq(qarr, qlens, W, smat)
+        peq, _rq = _pad_peq_q(myers.build_peq(qarr, qlens, W, smat),
+                              q_shards)
         for lb, poss in sorted(ubuckets.items()):
             lp = lb + 32
             # pad tile count to a multiple of the shard count
@@ -260,6 +298,7 @@ def compute_ed_matrix_sharded(qd, rd, smat, n_shards: int,
                 tiles[i, : len(s)] = s
             block = np.asarray(_sharded_scan(
                 jnp.asarray(peq), jnp.asarray(tiles), W, mesh))
-            block = np.minimum(block[:, : len(poss)], 255).astype(np.uint8)
+            block = np.minimum(block[: len(rows), : len(poss)],
+                               255).astype(np.uint8)
             ed[np.ix_(rows, poss)] = block
     return ed

@@ -38,6 +38,70 @@ def test_sharded_matches_single_device():
         assert np.array_equal(single, sharded), shards
 
 
+def test_2d_mesh_matches_single_device():
+    """Query blocks sharded along 'q' AND db along 'db' (2 x 4 mesh)."""
+    qd, rd = _dataset()
+    sm = score_matrix()
+    single = compute_ed_matrix(qd, rd, sm)
+    sharded = compute_ed_matrix_sharded(qd, rd, sm, 4, q_shards=2)
+    assert np.array_equal(single, sharded)
+
+
+def test_2d_mesh_accel_production_helpers():
+    """The production accel helpers (phase A pairs + phase B rescore)
+    on a (q=2, db=4) mesh are bit-identical to single-device
+    (VERDICT round 1, next-round #9)."""
+    import io
+
+    from burst_tpu import engine, modes
+    from burst_tpu.accel import build_accelerator
+    from burst_tpu.parallel import mesh as pmesh
+    from burst_tpu.process import bin_queries_for_accel
+
+    rng = np.random.default_rng(31)
+    refs = golden.make_refs(rng, 30, lo=300, hi=900)
+    reads = golden.make_reads(rng, refs, 300, read_len=100, max_err=2,
+                              rc_frac=0.3)
+    rh = [h.encode() for h, _ in refs]
+    rs = [np.frombuffer(s.encode(), dtype=np.uint8).copy()
+          for _, s in refs]
+    qh = [h.encode() for h, _ in reads]
+    qs = [np.frombuffer(s.encode(), dtype=np.uint8).copy()
+          for _, s in reads]
+    from burst_tpu.process import process_queries, process_references
+    rd = process_references(rh, rs, max_len_q=100, thres=0.97,
+                            rebase=True, rebase_amt=320, curate=2)
+    qd = process_queries(qh, qs, 0.97, do_rc=True)
+    acc = build_accelerator(rd, k=12, z=1)
+    qbins = bin_queries_for_accel(qd, acc.k, 1)
+    visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
+    sm = score_matrix()
+
+    def run(n_shards, q_shards):
+        if n_shards == 1:
+            sed = engine.compute_ed_matrix_accel(qd, rd, visits, sm)
+        else:
+            sed = pmesh.compute_ed_matrix_accel_sharded(
+                qd, rd, visits, sm, n_shards, q_shards=q_shards)
+        juni, refpos, eds = engine.select_pods(qd, rd, sed, "BEST")
+        order = engine.accel_pod_order(qd, rd, visits, juni, refpos,
+                                       eds)
+        if n_shards == 1:
+            pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
+                                          "BEST", sm, order)
+        else:
+            pods = pmesh.rescore_winners_sharded(
+                qd, rd, juni, refpos, eds, "BEST", sm, n_shards, order,
+                q_shards=q_shards)
+        buf = io.StringIO()
+        modes.report_best(pods, qd, rd, modes.B6Writer(buf))
+        return buf.getvalue()
+
+    single = run(1, 1)
+    assert single == run(4, 2) != ""
+    assert single == run(2, 4)
+
+
 def test_sharded_accel_path_bit_identical(tmp_path):
     """Full accel pipeline with --shards N must produce the same b6
     bytes as the single-device path (db-sharded phase A + phase B)."""

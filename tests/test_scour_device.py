@@ -44,10 +44,11 @@ def _workload(seed=7, n_refs=30, ref_len=600, n_reads=400, k=12,
     return qd, rd, acc, qbins
 
 
-def _visits_with(qd, rd, acc, qbins, dev: bool):
+def _visits_with(qd, rd, acc, qbins, dev: bool, qbunch: int = 1):
     os.environ["BURST_TPU_DEV_SCOUR"] = "1" if dev else "0"
     try:
-        return engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
+        return engine.accel_candidates(qd, rd, acc, qbins,
+                                       qbunch=qbunch)
     finally:
         os.environ.pop("BURST_TPU_DEV_SCOUR", None)
 
@@ -322,3 +323,95 @@ def test_device_scour_fuzz(seed):
     ref = _visits_with(qd, rd, acc, qbins, dev=False)
     got = _visits_with(qd, rd, acc, qbins, dev=True)
     _assert_visits_equal(ref, got)
+
+
+# ------------------------------------------------ QBUNCH > 1 device path
+
+@pytest.mark.parametrize("qbunch", [4, 16])
+def test_device_scour_qbunch_matches_native(qbunch):
+    """QBUNCH>1 (reference-default CLI regime, burst.c:4019-4021): the
+    two-dispatch device bunch scour reproduces the native bunch walk --
+    candidate lists, member expansion, and per-member unit keys."""
+    qd, rd, acc, qbins = _workload()
+    # prove the device bunch branch is actually taken (not a silent
+    # host fallback masking a regression)
+    from burst_tpu.engine import (_ambig_word_lists, _query_matrix,
+                                  bunch_thresholds)
+    engine.rd_acc_unit_index(rd, acc)
+    qmat, qlens_all, _ = _query_matrix(qd)
+    b0, b1 = int(qbins[0]), int(qbins[1])
+    n_clumps = rd.tot_units // 16 + (1 if rd.tot_units % 16 else 0)
+    mm_b, mm_i, _nb = bunch_thresholds(qd, b1, acc.k, qbunch, False)
+    aq_off, aqw, aqm, _ = _ambig_word_lists(qd, b0, acc.k, acc.z)
+    res = engine._scour_device_bunches(
+        qd, rd, acc, b0, b1, qbunch, acc.k, mm_b, mm_i, qmat,
+        qlens_all, aq_off, aqw, aqm, n_clumps)
+    assert res is not None, "device bunch scour branch not taken"
+
+    ref = _visits_with(qd, rd, acc, qbins, dev=False, qbunch=qbunch)
+    got = _visits_with(qd, rd, acc, qbins, dev=True, qbunch=qbunch)
+    assert got.offs[-1] > 0
+    _assert_visits_equal(ref, got)
+
+
+@pytest.mark.parametrize("env,val", [
+    ("BURST_TPU_SCOUR_EB", "64"),    # bunch slot-budget overflow
+    ("BURST_TPU_SCOUR_E", "48"),     # member slot-budget overflow
+])
+def test_device_scour_qbunch_overflow(env, val, monkeypatch):
+    """Overflowing bunch rows re-scour on the host candidates-only;
+    overflowing member rows re-run the host unit prefilter -- both
+    splice back bit-exactly."""
+    qd, rd, acc, qbins = _workload(seed=11)
+    ref = _visits_with(qd, rd, acc, qbins, dev=False, qbunch=8)
+    monkeypatch.setenv(env, val)
+    got = _visits_with(qd, rd, acc, qbins, dev=True, qbunch=8)
+    _assert_visits_equal(ref, got)
+
+
+@pytest.mark.parametrize("seed", [404, 505])
+def test_device_scour_qbunch_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    qbunch = int(rng.integers(2, 17))
+    qd, rd, acc, qbins = _workload(
+        seed=seed, n_refs=int(rng.integers(10, 50)),
+        ref_len=int(rng.integers(400, 1200)),
+        n_reads=int(rng.integers(100, 500)),
+        with_ambig=bool(rng.integers(0, 2)))
+    ref = _visits_with(qd, rd, acc, qbins, dev=False, qbunch=qbunch)
+    got = _visits_with(qd, rd, acc, qbins, dev=True, qbunch=qbunch)
+    _assert_visits_equal(ref, got)
+
+
+@pytest.mark.parametrize("mode", ["BEST", "ALLPATHS", "CAPITALIST"])
+def test_device_scour_qbunch_end_to_end_b6(mode):
+    """Pipeline bytes identical under host and device scour at the
+    reference-default bunch width."""
+    import io
+    from burst_tpu import modes
+    from burst_tpu.alphabet import score_matrix
+
+    smat = score_matrix()
+
+    def run(dev):
+        qd, rd2, acc2, qbins = _workload(seed=23)
+        vis = _visits_with(qd, rd2, acc2, qbins, dev, qbunch=16)
+        sed = engine.compute_ed_matrix_accel(qd, rd2, vis, smat)
+        juni, refpos, eds = engine.select_pods(qd, rd2, sed, mode)
+        order = engine.accel_pod_order(qd, rd2, vis, juni, refpos, eds)
+        cols = sed.lookup_cols(juni, refpos, rd2.tot_units)
+        pods = engine.rescore_winners(qd, rd2, juni, refpos, eds,
+                                      mode, smat, order, win_cols=cols)
+        buf = io.StringIO()
+        if mode == "BEST":
+            modes.report_best(pods, qd, rd2, modes.B6Writer(buf))
+        elif mode == "CAPITALIST":
+            modes.report_capitalist(pods, qd, rd2,
+                                    modes.B6Writer(buf), None)
+        else:
+            modes.report_allpaths_or_forage(
+                pods, qd, rd2, modes.B6Writer(buf), None, forage=False)
+        return buf.getvalue()
+
+    host = run(False)
+    assert host == run(True) != ""

@@ -65,8 +65,32 @@ def _ours(args, env=None):
                 os.environ[k] = v
 
 
+def _wait_for_device(max_tries: int = 15):
+    """The tunneled dev TPU stalls for minutes at a time; wait for a
+    healthy round-trip (probed in subprocesses -- an in-process
+    device_get on a hung tunnel blocks forever) before driving the
+    golden set. Proceeds regardless after max_tries."""
+    import subprocess
+    import time
+
+    if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+        return
+    probe = ("import jax, jax.numpy as jnp;"
+             "jax.device_get(jnp.zeros((8,), jnp.int32) + 1)")
+    for _ in range(max_tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=90, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(45)
+
+
 def main() -> int:
     import jax
+    _wait_for_device()
     want = os.environ.get("JAX_PLATFORMS")
     cur = jax.config.jax_platforms
     if want and cur != want and (not cur or "axon" in cur.split(",")):
