@@ -208,24 +208,111 @@ def _assemble_csr(words_parts: list[np.ndarray],
     return SparseCSR(nzw, cnt.astype(np.int64), ids)
 
 
+def _unit_lens(rd: RefData) -> np.ndarray:
+    """True (pre-continuation) unit lengths in sorted-unit order."""
+    if getattr(rd, "klen", None) is not None:
+        return rd.klen[rd.ix_srt[: rd.tot_units]].astype(np.int64)
+    return np.array([len(rd.seqs[rd.ix_srt[p]])
+                     for p in range(rd.tot_units)], dtype=np.int64)
+
+
 def build_accelerator(rd: RefData, k: int = 15, z: int = 1,
                       skip_ambig: bool = False) -> Accelerator:
+    """Clump-granular k-mer postings + BadList (burst.c:3304-3532).
+
+    Clumps whose every member is pure ACGT (the overwhelming majority
+    at database scale) take a fully vectorized path: one rolling-word
+    pass over the concatenated units, one unique() over packed
+    (clump, word) keys. Clumps containing any IUPAC letter keep the
+    literal per-clump expansion/BadList logic. Output is identical --
+    per-word postings ascend by clump either way, and word order within
+    a clump never reaches the serialized form."""
     tot_rc = rd.tot_units // VECSZ + (1 if rd.tot_units % VECSZ else 0)
-    word_parts: list[np.ndarray] = []
-    src_parts: list[np.ndarray] = []
+    n_units = rd.tot_units
+    lens = _unit_lens(rd)
+    span = np.int64(1) << np.int64(2 * k)
+
+    # per-unit purity without a per-letter Python pass
+    cat = np.concatenate(
+        [rd.seqs[rd.ix_srt[p]][: lens[p]] for p in range(n_units)]
+    ) if n_units else np.zeros(0, np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    unit_max = np.zeros(n_units, dtype=np.uint8)
+    nz = lens > 0
+    if nz.any():
+        unit_max[nz] = np.maximum.reduceat(cat, offs[:-1][nz])
+    clump_of = np.arange(n_units, dtype=np.int64) // VECSZ
+    pure_unit = unit_max <= 4
+    pure_clump = np.ones(tot_rc, dtype=bool)
+    np.logical_and.at(pure_clump, clump_of, pure_unit)
+    # pure-clump badness: the literal tsum walk reduces to the window
+    # count (asum stays 0), threshold per _clump_is_bad
+    full_size = (1 << 31) - 1 if k > 14 else 1 << 24
+    wins = np.maximum(lens - (k - 1), 0)
+    cwins = np.zeros(tot_rc, dtype=np.int64)
+    np.add.at(cwins, clump_of, wins)
+    bad_pure = pure_clump & (cwins >= full_size)
+    if skip_ambig:
+        bad_pure[:] = False
+
+    # keys pack WORD-major (word * n_sources + source): one unique()
+    # lands directly in CSR layout -- per-word postings ascend by
+    # clump, exactly the serialized .acx order -- with no second sort
+    key_parts: list[np.ndarray] = []
+    ok_pure = pure_clump & ~bad_pure
+    usel = ok_pure[clump_of] & (lens >= k)
+    if usel.any():
+        psel = np.nonzero(usel)[0]
+        pcat = cat[np.repeat(usel, lens)]
+        plen = lens[psel]
+        uid = np.repeat(np.arange(len(psel), dtype=np.int64), plen)
+        nwin = len(pcat) - k + 1
+        if nwin > 0:
+            valid = uid[:nwin] == uid[k - 1:]
+            cm1 = pcat.astype(np.int64) - 1
+            words = np.zeros(nwin, dtype=np.int64)
+            for t in range(k):
+                words += cm1[t: t + nwin] << np.int64(2 * (k - 1 - t))
+            wsel = np.nonzero(valid)[0]
+            key_parts.append(words[wsel] * np.int64(tot_rc)
+                             + clump_of[psel[uid[wsel]]])
+
+    # mixed clumps: literal reference logic (expansion, budget)
     bad: list[int] = []
-    for c in range(tot_rc):
-        begin, end = c * VECSZ, min(rd.tot_units, (c + 1) * VECSZ)
+    for c in np.nonzero(~pure_clump)[0]:
+        begin, end = c * VECSZ, min(n_units, (c + 1) * VECSZ)
         seqs = [_unit_kseq(rd, p) for p in range(begin, end)]
         if not skip_ambig and _clump_is_bad(seqs, k, z):
-            bad.append(c)
+            bad.append(int(c))
             continue
         words = _clump_words(seqs, k, z, skip_ambig)
         if words.size:
-            word_parts.append(words)
-            src_parts.append(np.full(words.size, c, dtype=np.int64))
-    return Accelerator(k, _assemble_csr(word_parts, src_parts),
-                       np.array(bad, dtype=np.uint32), z)
+            key_parts.append(
+                np.unique(words.astype(np.int64)) * np.int64(tot_rc)
+                + np.int64(c))
+    all_bad = np.sort(np.concatenate(
+        [np.nonzero(bad_pure)[0].astype(np.int64),
+         np.array(bad, dtype=np.int64)])).astype(np.uint32)
+    if not key_parts:
+        z0 = np.zeros(0, dtype=np.int64)
+        return Accelerator(k, SparseCSR(z0, z0,
+                                        np.zeros(0, dtype=np.uint32)),
+                           all_bad, z)
+    keys = np.unique(np.concatenate(key_parts))
+    return Accelerator(k, _csr_from_word_major(keys, tot_rc), all_bad,
+                       z)
+
+
+def _csr_from_word_major(keys: np.ndarray, n_sources: int) -> SparseCSR:
+    """SparseCSR from unique word-major keys (word*n_sources + src)."""
+    all_w = keys // np.int64(n_sources)
+    ids = (keys % np.int64(n_sources)).astype(np.uint32)
+    head = np.empty(len(all_w), dtype=bool)
+    head[0] = True
+    np.not_equal(all_w[1:], all_w[:-1], out=head[1:])
+    starts = np.nonzero(head)[0]
+    cnt = np.diff(np.concatenate((starts, [len(all_w)])))
+    return SparseCSR(all_w[head], cnt.astype(np.int64), ids)
 
 
 def build_unit_index(rd: RefData, acc: "Accelerator",
@@ -247,8 +334,7 @@ def build_unit_index(rd: RefData, acc: "Accelerator",
     bad_clump = np.zeros(n_units // VECSZ + 1, dtype=bool)
     if len(acc.bad):
         bad_clump[acc.bad.astype(np.int64)] = True
-    lens = np.array([len(_unit_kseq(rd, p)) for p in range(n_units)],
-                    dtype=np.int64)
+    lens = _unit_lens(rd)
     elig = (~bad_clump[np.arange(n_units) // VECSZ]) & (lens >= k)
 
     key_parts: list[np.ndarray] = []
@@ -277,7 +363,8 @@ def build_unit_index(rd: RefData, acc: "Accelerator",
             for t in range(k):
                 words += cm1[t: t + nwin] << np.int64(2 * (k - 1 - t))
             wsel = np.nonzero(clear)[0]
-            key_parts.append(ue[uid[wsel]] * span + words[wsel])
+            key_parts.append(words[wsel] * np.int64(n_units)
+                             + ue[uid[wsel]])
             # ambiguous (non-skip) windows: DFS expansion, few
             asel = np.nonzero(valid & ~w_skip & w_amb)[0]
             for j0 in asel:
@@ -285,20 +372,21 @@ def build_unit_index(rd: RefData, acc: "Accelerator",
                 _expand_words(cat, int(j0), k, tmp)
                 if tmp:
                     key_parts.append(
-                        np.int64(ue[uid[j0]]) * span +
-                        np.array(tmp, dtype=np.int64))
+                        np.array(tmp, dtype=np.int64)
+                        * np.int64(n_units) + np.int64(ue[uid[j0]]))
     elif len(ue):
         # z=0 without skip_ambig: per-unit reference-semantics fallback
         for p in ue:
             words = _clump_words([_unit_kseq(rd, p)], k, z, skip_ambig)
             if words.size:
-                key_parts.append(np.int64(p) * span + words)
+                key_parts.append(words * np.int64(n_units)
+                                 + np.int64(p))
 
     if key_parts:
-        keys = np.unique(np.concatenate(key_parts))   # dedupe per unit
-        words_u = (keys % span).astype(np.int64)
-        units_u = (keys // span).astype(np.int64)
-        acc.u_csr = _assemble_csr([words_u], [units_u])
+        # word-major keys: one unique() lands in CSR layout (per-word
+        # unit postings ascending), no second sort
+        keys = np.unique(np.concatenate(key_parts))
+        acc.u_csr = _csr_from_word_major(keys, n_units)
     else:
         z0 = np.zeros(0, dtype=np.int64)
         acc.u_csr = SparseCSR(z0, z0, np.zeros(0, dtype=np.uint32))
