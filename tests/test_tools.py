@@ -444,3 +444,118 @@ def test_akmer94b_usage(built):
                        text=True, env=env)
     assert (r.returncode, r.stdout, r.stderr) == \
            (m.returncode, m.stdout, m.stderr)
+
+
+# ------------------------------------------------------------------ bcov2
+# (reference ships only bin/bcov2-strip, no source; tools/bcov2.c is a
+# clean-room black-box reimplementation -- see its header for the
+# recovered spec, incl. the filtered-adjacency UNIQ rule and the
+# unsigned clamped bin math)
+
+def _bcov2_oracle(d):
+    src = "/root/reference/bin/bcov2-strip"
+    dst = str(d / "ref_bcov2")
+    if not os.path.exists(dst):
+        shutil.copy(src, dst)
+        os.chmod(dst, os.stat(dst).st_mode | stat.S_IXUSR)
+    return dst
+
+
+def _bcov2_norm(s):
+    s = re.sub(rb"\[\d+\.\d+\]", b"[T]", s)
+    # hash-collision diagnostics depend on the binary's unspecified
+    # hash; identical (0, 0) on these inputs, but normalize anyway
+    return re.sub(rb"Max collisions = \d+, number terms that collided"
+                  rb" = \d+", b"COLL", s)
+
+
+def _bcov2_run(exe, b6, tbl, out, opts):
+    res = subprocess.run([exe, b6, tbl, out] + opts, capture_output=True)
+    try:
+        with open(out, "rb") as f:
+            data = f.read()
+    except OSError:
+        data = None
+    return res.returncode, _bcov2_norm(res.stdout), res.stderr, data
+
+
+BCOV2_OPTS = [
+    [], ["UNIQ"], ["BINS", "50"], ["ID", "93.5"],
+    ["BINS", "137", "ID", "92", "UNIQ"], ["SPLIT"],
+    ["UPROF", "@FA"], ["BINS", "50", "ID", "91", "UNIQ", "UPROF", "@FA"],
+    ["BINS", "1", "UPROF", "@FA"],
+    # tail-consume quirks: UNIQ before BINS is dropped by the binary
+    ["UNIQ", "BINS", "50"], ["ID", "97", "UNIQ"],
+]
+
+
+@pytest.fixture(scope="module")
+def bcov2_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bcov2")
+    rng = np.random.default_rng(777)
+    gens = [("gen%02d_%c" % (i, "abcxyz"[i % 6]), int(rng.integers(1, 900)))
+            for i in range(25)]
+    with open(d / "tbl.txt", "w") as f:
+        for n, l in gens:
+            f.write(f"{n}\t{l}\n")
+    with open(d / "gen.fa", "w") as f:
+        for n, l in gens:
+            seq = "".join("ACGT"[k] for k in rng.integers(0, 4, l))
+            f.write(f">{n}\n{seq}\n")
+    qn = ["r%03d" % i for i in range(60)]
+    with open(d / "in.b6", "w") as f:
+        for i in range(150):
+            g, L = gens[int(rng.integers(0, len(gens)))]
+            s = int(rng.integers(-5, L + 60))
+            e = s + int(rng.integers(0, 400))
+            if rng.random() < 0.3:
+                s, e = e, s
+            f.write("%s\t%s\t%.6f\t%d\t1\t0\t1\t100\t%d\t%d\t1\t0\n"
+                    % (qn[int(rng.integers(0, len(qn)))], g,
+                       float(rng.uniform(80, 100)),
+                       int(rng.integers(50, 150)), s, e))
+    return d
+
+
+@pytest.mark.parametrize("oi", range(len(BCOV2_OPTS)))
+def test_bcov2_bit_identical(built, bcov2_data, oi):
+    """tools/bcov2.c vs bin/bcov2-strip: exit code, stdout (timings
+    normalized), stderr, and output bytes across option combos,
+    covering negative/past-the-end coordinates, the UNIQ adjacency
+    rule, ID filtering, and the UPROF segment fasta."""
+    d = bcov2_data
+    opts = [a.replace("@FA", str(d / "gen.fa")) for a in BCOV2_OPTS[oi]]
+    r = _bcov2_run(_bcov2_oracle(d), str(d / "in.b6"), str(d / "tbl.txt"),
+                   str(d / f"r{oi}.out"), opts)
+    m = _bcov2_run(_ours("bcov2"), str(d / "in.b6"), str(d / "tbl.txt"),
+                   str(d / f"m{oi}.out"), opts)
+    assert r == m
+
+
+def test_bcov2_errors_and_usage(built, bcov2_data):
+    d = bcov2_data
+    env = dict(os.environ)
+    for args in ([], ["missing.b6", str(d / "tbl.txt"), str(d / "e.out")],
+                 [str(d / "in.b6"), "missing.txt", str(d / "e.out")],
+                 [str(d / "in.b6"), str(d / "tbl.txt"), "/bad/dir/e.out"],
+                 [str(d / "in.b6"), str(d / "tbl.txt"), str(d / "e.out"),
+                  "UPROF", "missing.fa"]):
+        r = subprocess.run([_bcov2_oracle(d)] + args, capture_output=True,
+                           env=env)
+        m = subprocess.run([_ours("bcov2")] + args, capture_output=True,
+                           env=env)
+        assert (r.returncode, _bcov2_norm(r.stdout), r.stderr) == \
+               (m.returncode, _bcov2_norm(m.stdout), m.stderr), args
+
+
+def test_bcov2_missing_genome_exit4(built, bcov2_data):
+    d = bcov2_data
+    b6 = str(d / "mg.b6")
+    with open(b6, "w") as f:
+        f.write("q1\tNOSUCH\t99.0\t100\t1\t0\t1\t100\t1\t100\t1\t0\n")
+    r = subprocess.run([_bcov2_oracle(d), b6, str(d / "tbl.txt"),
+                        str(d / "mg_r.out")], capture_output=True)
+    m = subprocess.run([_ours("bcov2"), b6, str(d / "tbl.txt"),
+                        str(d / "mg_m.out")], capture_output=True)
+    assert r.returncode == m.returncode == 4
+    assert _bcov2_norm(r.stdout) == _bcov2_norm(m.stdout)
