@@ -128,12 +128,33 @@ def main():
           f"({N_FAM}x{N_MEM}x{FAM_LEN}bp @ {DIVERGENCE:.0%}), "
           f"{N_READS} reads, gen {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
-    # one-time db + accelerator build (persisted artifacts in production)
+    # one-time db + accelerator build (persisted artifacts in
+    # production); cached on disk so supervisor retries after a device
+    # drop skip the ~10 min rebuild
+    import pickle
     t0 = time.perf_counter()
-    rd = process_references(rheads, [r.copy() for r in refs],
-                            max_len_q=READ_LEN, thres=THRES,
-                            rebase=True, rebase_amt=320, curate=2)
-    acc = build_accelerator(rd, k=K, z=1)
+    cache = (f"/tmp/burst_bench_{N_FAM}x{N_MEM}x{FAM_LEN}"
+             f"_{DIVERGENCE}_{K}.pkl")
+    rd = acc = None
+    if os.path.exists(cache):
+        try:
+            with open(cache, "rb") as f:
+                rd, acc = pickle.load(f)
+            print(f"[bench] db+acx cache hit "
+                  f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+        except Exception:
+            rd = acc = None
+    if rd is None:
+        rd = process_references(rheads, [r.copy() for r in refs],
+                                max_len_q=READ_LEN, thres=THRES,
+                                rebase=True, rebase_amt=320, curate=2)
+        acc = build_accelerator(rd, k=K, z=1)
+        try:
+            with open(cache + ".tmp", "wb") as f:
+                pickle.dump((rd, acc), f, protocol=5)
+            os.replace(cache + ".tmp", cache)
+        except Exception:
+            pass
     print(f"[bench] db+acx build {time.perf_counter()-t0:.0f}s "
           f"({rd.tot_units} units, {len(acc.csr.ids)} postings)",
           file=sys.stderr)
@@ -183,5 +204,43 @@ def main():
     }))
 
 
+def _supervise():
+    """Run the bench in a child process and retry on device failures.
+
+    The dev rig's tunneled TPU drops for minutes at a time; a drop
+    mid-run kills the backend for the whole process (jax caches the
+    broken client), so recovery needs a FRESH interpreter. The child
+    inherits stdout so the JSON metric line lands where the driver
+    reads it. Watchdog: a child that neither finishes nor fails within
+    BENCH_ATTEMPT_S (default 45 min -- a healthy run takes ~15-20) is
+    killed and retried.
+    """
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    budget = float(os.environ.get("BENCH_ATTEMPT_S", "2700"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    rc = 1
+    for i in range(attempts):
+        if i:
+            print(f"[bench] attempt {i} failed (rc={rc}); waiting for "
+                  "a device window, then retrying in a fresh process",
+                  file=sys.stderr)
+            _wait_for_device()
+        child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                 env=env)
+        try:
+            rc = child.wait(timeout=budget)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.wait()
+            rc = -1
+        if rc == 0:
+            return 0
+    return rc
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_supervise())

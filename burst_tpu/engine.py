@@ -1091,6 +1091,11 @@ def _assemble_visits(qd, res, b0: int, b1: int, qbunch: int, bad_arr,
     offs[b1 + 1:] = offs[b1]
     out = np.empty(int(offs[b1]), dtype=np.int64)
     nm = len(mflat)
+    if nm != int(mcnt.sum()):
+        raise RuntimeError(
+            f"scour result inconsistent: len(mflat)={nm} != "
+            f"sum(mcnt)={int(mcnt.sum())} -- concurrent scour calls "
+            "clobbering shared result state?")
     if nm:
         csum = np.concatenate(([0], np.cumsum(mcnt)[:-1]))
         dst = np.repeat(offs[:b1], mcnt) + \

@@ -118,13 +118,19 @@ void hash_build(const int64_t* nzw, const int64_t* pairs,
 // clumps with hits > mm_bunch[g] ordered by (hits desc, first-touch
 // asc); member lists = bunch candidates with hits > mm_inner[j].
 //
-// Results are held in process-global growable buffers between the _run
-// and _fetch calls (single-threaded driver assumption).
+// Results are held in growable buffers between the _run and _fetch
+// calls. thread_local: serving's align_stream pipelines batches on
+// worker threads (each thread does its own run+sizes+fetch), so a
+// process-global here would let one batch's run clobber another's
+// results between its run and fetch (observed as mismatched
+// mflat/mcnt sizes in _assemble_visits). The OpenMP workers inside
+// scour_run write into a run-local ScourResult (disjoint indices)
+// that is moved into the caller thread's slot at the end.
 struct ScourResult {
     std::vector<int64_t> bflat, bhits, mflat;
     std::vector<int64_t> bcnt, mcnt, ukeys;
 };
-static ScourResult g_scour;
+static thread_local ScourResult g_scour;
 
 // With u_ids != NULL the unit-level pigeonhole prefilter runs fused in
 // the same pass (reusing each member's sorted word multiset): per clear
@@ -150,10 +156,9 @@ long scour_run(
     long threads)
 {
     long n_bunches = (b1 + qbunch - 1) / qbunch;
-    g_scour.bflat.clear(); g_scour.bhits.clear(); g_scour.mflat.clear();
-    g_scour.bcnt.assign(n_bunches, 0);
-    g_scour.mcnt.assign(b1, 0);
-    g_scour.ukeys.clear();
+    ScourResult res;   // run-local; OMP workers write disjoint slots
+    res.bcnt.assign(n_bunches, 0);
+    res.mcnt.assign(b1, 0);
     Postings post{tab, span, nzw, n_nz, pairs, ids,
                   hkey, hval, hcap - 1};
     Postings upost{u_tab, u_span, u_nzw, u_n_nz, u_pairs, u_ids,
@@ -342,7 +347,7 @@ long scour_run(
                           if (a.hits != b.hits) return a.hits > b.hits;
                           return a.touch < b.touch;
                       });
-            g_scour.bcnt[g] = (long)cand.size();
+            res.bcnt[g] = (long)cand.size();
             for (auto& cc : cand) {
                 t_bflat[tid].push_back(cc.clump);
                 t_bhits[tid].push_back(cc.hits);
@@ -355,7 +360,7 @@ long scour_run(
                         t_mflat[tid].push_back(cc.clump);
                         ++cnt;
                     }
-                g_scour.mcnt[j] = cnt;
+                res.mcnt[j] = cnt;
             }
             for (int64_t cl : touched) hits[cl] = 0;
             // fused unit-level prefilter (clear members only) over the
@@ -409,15 +414,16 @@ long scour_run(
     // static scheduling gives each thread a contiguous bunch block in
     // order, so concatenating thread buffers restores global order
     for (int t = 0; t < nt; ++t) {
-        g_scour.bflat.insert(g_scour.bflat.end(), t_bflat[t].begin(),
-                             t_bflat[t].end());
-        g_scour.bhits.insert(g_scour.bhits.end(), t_bhits[t].begin(),
-                             t_bhits[t].end());
-        g_scour.mflat.insert(g_scour.mflat.end(), t_mflat[t].begin(),
-                             t_mflat[t].end());
-        g_scour.ukeys.insert(g_scour.ukeys.end(), t_ukeys[t].begin(),
-                             t_ukeys[t].end());
+        res.bflat.insert(res.bflat.end(), t_bflat[t].begin(),
+                         t_bflat[t].end());
+        res.bhits.insert(res.bhits.end(), t_bhits[t].begin(),
+                         t_bhits[t].end());
+        res.mflat.insert(res.mflat.end(), t_mflat[t].begin(),
+                         t_mflat[t].end());
+        res.ukeys.insert(res.ukeys.end(), t_ukeys[t].begin(),
+                         t_ukeys[t].end());
     }
+    g_scour = std::move(res);   // publish to this caller thread's slot
     return 0;
 }
 
