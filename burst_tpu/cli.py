@@ -176,7 +176,10 @@ def parse_args(argv):
             a["latency"] = int(need("--latency requires integer "
                                     "argument"))
         elif arg in ("--clustradius", "-cr"):
-            need("--clustradius requires integer argument")
+            a["clustradius"] = int(need("--clustradius requires "
+                                        "integer argument"))
+            print(" --> Setting FP cluster search radius to "
+                  f"{a['clustradius']} members")
         elif arg in ("--dbpartition", "-dp"):
             a["cparts"] = int(need("--dbpartition requires integer "
                                    "argument"))
@@ -268,7 +271,8 @@ def run(a) -> int:
             rh, rs, max_len_q=qd.max_len, thres=a["thres"],
             rebase=a["rebase"], rebase_amt=a["rebase_amt"],
             curate=1 if a["dedupe"] else 0, xalpha=a["xalpha"],
-            do_fp=a["fp"], z=a["z"], latency=a["latency"])
+            do_fp=a["fp"], z=a["z"], latency=a["latency"],
+            clustradius=a.get("clustradius", 0))
     ph.mark("Reference database ready")
 
     taxonomy = None

@@ -25,7 +25,8 @@ def make_db(a: dict):
         rebase=a["rebase"], rebase_amt=a["rebase_amt"], curate=2,
         xalpha=a["xalpha"], do_fp=a["fp"], dbtype=a["dbtype"],
         cparts=a.get("cparts", 1), z=a["z"],
-        latency=a.get("latency", 16))
+        latency=a.get("latency", 16),
+        clustradius=a.get("clustradius", 0))
     shear_hdr = int(np.float32(db_qlen) / np.float32(a["thres"]))
     edx.write_edx(a["out"], rd, shear_hdr, a["rebase"],
                   do_fp=a["fp"], xalpha=a["xalpha"])

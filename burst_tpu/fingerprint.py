@@ -8,13 +8,23 @@ use IUPAC ambiguity expansion, and references containing N get a second
 
 Clustering reorders the sorted+deduped units so each 16-wide clump
 packs similar references: a counting-sort band pass over the prints'
-leading 24 bits, then a greedy min-union-popcount sweep; the EM
-refinement loop (-cr) is seeded from libc rand() and is not replicated.
+leading 24 bits, then a greedy min-union-popcount sweep, then (with
+-cr N) N rounds of EM refinement (burst.c:2515-2602): random cluster
+pairings with exhaustive member-swap hill descent on the summed
+union popcounts. Single-threaded the reference is deterministic (its
+round seed is glibc's unseeded rand()); we replicate that stream, so
+-cr output is byte-identical to the oracle at -t 1. Note the
+reference serializes the PRE-refinement greedy centroids in the
+non-N-penalized case (PC is never rebuilt after EM, burst.c:2601);
+we keep that quirk, and recompute centroids only under -z like it
+does (burst.c:2673-2677).
 
 Everything here runs at DB build time only; search-time FP screens are
 pure lower-bound skips (burst.c:4171-4183) that cannot change output.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -192,8 +202,129 @@ def greedy_cluster(P: np.ndarray, tot_r: int):
     return ix, pc
 
 
+_GLIBC_RAND1 = 1804289383        # first unseeded glibc rand()
+_M64 = (1 << 64) - 1
+
+
+def _qrand64(x: int) -> int:
+    """xorshift64 (burst.c:1690-1691), on a masked python int."""
+    x = (x ^ (x << 13)) & _M64
+    x ^= x >> 7
+    return (x ^ (x << 17)) & _M64
+
+
+def em_refine(p: np.ndarray, ix_array: np.ndarray, tot_r: int,
+              rounds: int) -> np.ndarray:
+    """EM cluster-refinement loop (-cr, burst.c:2515-2602).
+
+    Each round pairs up the clusters by a seeded random shuffle, then
+    for every pair exhaustively tries swapping each member of one
+    clump with each member of the other, keeping a swap iff it
+    strictly lowers the summed union popcount of the two clumps.
+
+    `p` is the band-sorted print table (twin-swapped under -z) and
+    `ix_array` the greedy clusterer's permutation over [0, tot16);
+    returns the refined permutation. Replicates the reference's
+    single-thread behavior exactly, including its seeding (thread 0's
+    seed is 1 + the running xorshift state, initialised from the
+    first unseeded glibc rand()) and its quirk that the last shuffle
+    slot reads an uninitialised Cache entry (see the junk-model
+    comment below; BURST_TPU_EM_TAIL selects the modelled value).
+    """
+    tot16 = len(ix_array)
+    n_clus = tot16 >> 4
+    if n_clus == 0 or rounds <= 0:
+        return ix_array
+    ix_array = ix_array.copy()
+    P = np.zeros((tot16, 32), dtype=np.uint8)
+    live = ix_array < tot_r                    # padding rows stay zero
+    P[live] = p[ix_array[live]]
+    clus_pop = np.bitwise_count(
+        np.bitwise_or.reduce(P.reshape(n_clus, 16, 32), axis=1)
+    ).sum(axis=1).astype(np.int64)
+    shf = list(range(tot16))
+    # The reference reads one uninitialised Cache slot (z = n_clus-1,
+    # burst.c:2554-2563): recycled heap bytes -- in practice old
+    # fingerprint data from the just-freed print table, so its value
+    # depends on the allocator's chunk reuse. Two regimes exist and
+    # both are modelled here, selected by BURST_TPU_EM_TAIL:
+    #   0 (default): the recycled bytes were zero -- the common case
+    #     for small DBs, whose sparse prints are mostly zero bytes;
+    #     verified byte-identical to the oracle on <=200-ref DBs.
+    #   >= n_clus: nonzero junk. ANY such value behaves identically:
+    #     the shuffle parks shf[n_clus-1] in ShfIx[junk] and pulls in
+    #     the previously parked id, and an out-of-range id reaching a
+    #     paired slot yields empty swap loops in the reference too
+    #     (r1 = MIN(totR, c1o+16) < c1o); verified byte-identical on
+    #     300-ref DBs for cr in {1,4,7,25,50}.
+    # Values in [1, n_clus) are possible in principle but were never
+    # observed. This is the one unknowable in -cr replication; the
+    # algorithm itself (seed stream, shuffle, swap descent) is exact.
+    tail = int(os.environ.get("BURST_TPU_EM_TAIL", "0"))
+    tail = max(0, min(tail, tot16 - 1))
+    cache = [0] * n_clus
+    cache[n_clus - 1] = tail
+    tot2 = n_clus - (n_clus & 1)
+    _dbg = os.environ.get("BURST_TPU_EM_DEBUG")
+    mseed = _GLIBC_RAND1
+    for _rnd in range(rounds):
+        seed = (1 + mseed) & _M64
+        for z in range(n_clus - 1):
+            seed = _qrand64(seed)
+            cache[z] = (seed & 0xFFFFFFFF) % (n_clus - z) + z
+        mseed = seed
+        for z in range(n_clus):
+            r = cache[z]
+            shf[z], shf[r] = shf[r], shf[z]
+        for j in range(0, tot2, 2):
+            c1, c2 = shf[j], shf[j + 1]
+            c1o, c2o = c1 << 4, c2 << 4
+            r1, r2 = min(tot_r, c1o + 16), min(tot_r, c2o + 16)
+            for k in range(c1o, r1):
+                rows1 = P[c1o: c1o + 16]
+                ex1 = np.bitwise_or.reduce(
+                    np.delete(rows1, k - c1o, axis=0), axis=0)
+                m = c2o
+                while m < r2:
+                    rows2 = P[c2o: c2o + 16]
+                    # OR of clump2 minus each candidate row, via
+                    # prefix/suffix unions
+                    pre = np.zeros((17, 32), dtype=np.uint8)
+                    suf = np.zeros((17, 32), dtype=np.uint8)
+                    for t in range(16):
+                        pre[t + 1] = pre[t] | rows2[t]
+                        suf[15 - t] = suf[16 - t] | rows2[15 - t]
+                    mm = np.arange(m - c2o, r2 - c2o)
+                    new1 = np.bitwise_count(
+                        ex1[None, :] | rows2[mm]).sum(axis=1)
+                    new2 = np.bitwise_count(
+                        (pre[mm] | suf[mm + 1]) | P[k][None, :]
+                    ).sum(axis=1)
+                    better = np.nonzero(
+                        new1 + new2 < clus_pop[c1] + clus_pop[c2])[0]
+                    if len(better) == 0:
+                        break
+                    hit = int(better[0])
+                    mi = m + hit
+                    tmp = P[k].copy()
+                    P[k] = P[mi]
+                    P[mi] = tmp
+                    clus_pop[c1] = int(new1[hit])
+                    clus_pop[c2] = int(new2[hit])
+                    ix_array[k], ix_array[mi] = ix_array[mi], ix_array[k]
+                    ex1 = np.bitwise_or.reduce(
+                        np.delete(P[c1o: c1o + 16], k - c1o, axis=0),
+                        axis=0)
+                    m = mi + 1
+        if _dbg:
+            print(f"[em r{_rnd}] cur={int(clus_pop.sum())} "
+                  f"shf={shf[:n_clus]}")
+    return ix_array
+
+
 def cluster_references(ix_srt, tmp_rix, dedup_ix, seqs, klen, tot_r,
-                       orig_tot, z: int, curate: bool):
+                       orig_tot, z: int, curate: bool,
+                       clustradius: int = 0):
     """FP band sort + greedy clustering; returns the reordered
     (ix_srt, tmp_rix, dedup_ix, centroids, fp_p, fp_ptrs)."""
     seqs_sorted = [np.asarray(seqs[ix_srt[p]][: int(klen[ix_srt[p]])])
@@ -246,6 +377,8 @@ def cluster_references(ix_srt, tmp_rix, dedup_ix, seqs, klen, tot_r,
     work = np.zeros((tot16 + 1, 32), dtype=np.uint8)
     work[:tot_r] = p[:tot_r]
     ix_array, pc = greedy_cluster(work, tot_r)
+    if clustradius:
+        ix_array = em_refine(p, ix_array, tot_r, clustradius)
     # greedy swaps stay within [0, tot_r); padding rows keep their spot
     _reorder(ix_array[:tot_r])
 

@@ -421,7 +421,8 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
                        rebase_amt: int = 500, curate: int = 0,
                        xalpha: bool = False, do_fp: bool = False,
                        dbtype: str = "QUICK", cparts: int = 1,
-                       z: int = 1, latency: int = LATENCY) -> RefData:
+                       z: int = 1, latency: int = LATENCY,
+                       clustradius: int = 0) -> RefData:
     seqs = [s if xalpha else translate(s) for s in raw_seqs]
     parents = seqs
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
@@ -523,7 +524,8 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
         from .fingerprint import cluster_references
         ix_srt, tmp_rix, dedup_ix, centroids, fp_p, fp_ptrs = \
             cluster_references(ix_srt, tmp_rix, dedup_ix, seqs, lens,
-                               tot_units, tot, z, bool(curate))
+                               tot_units, tot, z, bool(curate),
+                               clustradius=clustradius)
 
     # The reference's clump transpose reads ONE byte past each shear's
     # end into the parent (burst.c:2716-2718 uses '>= j'), bounded by
