@@ -178,8 +178,19 @@ def parse_args(argv):
         elif arg in ("--clustradius", "-cr"):
             a["clustradius"] = int(need("--clustradius requires "
                                         "integer argument"))
+            if a["clustradius"] < 0:
+                # the reference atoi's into uint32_t so a negative
+                # wraps to ~4e9 EM rounds -- never a useful request;
+                # make the accepted domain explicit instead
+                print("ERROR: --clustradius must be >= 0",
+                      file=sys.stderr)
+                sys.exit(1)
             print(" --> Setting FP cluster search radius to "
                   f"{a['clustradius']} members")
+            if a["clustradius"]:
+                print("    [-cr parity note: EM junk-slot regime is "
+                      "controlled by BURST_TPU_EM_TAIL; the default 0 "
+                      "matches the single-thread oracle on small DBs]")
         elif arg in ("--dbpartition", "-dp"):
             a["cparts"] = int(need("--dbpartition requires integer "
                                    "argument"))

@@ -32,12 +32,10 @@ def _scour_words(seq: np.ndarray, k: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     c = seq.astype(np.int64)
     ok = c <= 4
-    # run[j] = length of clean run ending at j
-    run = np.zeros(n, dtype=np.int64)
-    r = 0
-    for j in range(n):          # short loop; queries are <= a few kbp
-        r = r + 1 if ok[j] else 0
-        run[j] = r
+    # run[j] = length of clean run ending at j = j - (last bad index <= j)
+    idx = np.arange(n, dtype=np.int64)
+    last_bad = np.maximum.accumulate(np.where(ok, np.int64(-1), idx))
+    run = np.where(ok, idx - last_bad, 0)
     ends = np.nonzero(run >= k)[0]
     if not len(ends):
         return np.zeros(0, dtype=np.int64)

@@ -38,22 +38,21 @@ def mhset(tmp_path_factory):
     return d, qfa, edx, acx, str(d / "tax.tsv")
 
 
-def _launch(n, cli_args, port):
+def _launch(n, cli_args):
     env = dict(os.environ)
     env.pop("BURST_TPU_MULTIHOST", None)
     res = subprocess.run(
-        [sys.executable, LAUNCHER, "-n", str(n), "--port", str(port),
-         "--"] + cli_args,
+        [sys.executable, LAUNCHER, "-n", str(n), "--"] + cli_args,
         capture_output=True, text=True, env=env, timeout=540)
     assert res.returncode == 0, res.stderr[-2000:]
 
 
-@pytest.mark.parametrize("mode,use_tax,port", [
-    ("BEST", False, 45621),
-    ("ALLPATHS", False, 45622),
-    ("CAPITALIST", True, 45623),
+@pytest.mark.parametrize("mode,use_tax", [
+    ("BEST", False),
+    ("ALLPATHS", False),
+    ("CAPITALIST", True),
 ])
-def test_multihost_accel_bit_identical(mhset, mode, use_tax, port):
+def test_multihost_accel_bit_identical(mhset, mode, use_tax):
     d, qfa, edx, acx, tax = mhset
     extra = ("-b", tax) if use_tax else ()
     sp = str(d / f"sp_{mode}.b6")
@@ -61,7 +60,7 @@ def test_multihost_accel_bit_identical(mhset, mode, use_tax, port):
     golden.run_ours(["-r", edx, "-a", acx, "-q", qfa, "-o", sp,
                      "-m", mode, *extra])
     _launch(2, ["-r", edx, "-a", acx, "-q", qfa, "-o", mh,
-                "-m", mode, *extra], port)
+                "-m", mode, *extra])
     with open(sp, "rb") as f1, open(mh, "rb") as f2:
         assert f1.read() == f2.read(), f"{mode} multihost bytes differ"
 
@@ -72,6 +71,6 @@ def test_multihost_full_path_three_procs(mhset):
     sp = str(d / "sp_full.b6")
     mh = str(d / "mh_full.b6")
     golden.run_ours(["-r", edx, "-q", qfa, "-o", sp, "-m", "BEST"])
-    _launch(3, ["-r", edx, "-q", qfa, "-o", mh, "-m", "BEST"], 45624)
+    _launch(3, ["-r", edx, "-q", qfa, "-o", mh, "-m", "BEST"])
     with open(sp, "rb") as f1, open(mh, "rb") as f2:
         assert f1.read() == f2.read()
