@@ -707,11 +707,14 @@ def _lca(taxa: list[bytes], taxacut: int):
 
 
 def report_any_accel(sed, visits, qd: QueryData, rd: RefData,
-                     writer: B6Writer, smat=None, qbunch: int = 1):
+                     writer: B6Writer, smat=None, qbunch: int = 1,
+                     rescore_fn=None):
     """ANY mode on the accel path: hits print inline during the scan
     (burst.c:4239-4275) -- per bunch, clumps in visit order, queries in
     bunch order; the printed lane is the first attaining the clump min.
-    Full-scan unibins print afterwards in full-path order."""
+    Full-scan unibins print afterwards in full-path order.
+    `rescore_fn` overrides engine.rescore_winners (multi-host injects a
+    shard-owner-stitched collective variant)."""
     sed.materialize()
     budgets = qd.ed[qd.six].astype(np.int64)
     b1 = int(np.searchsorted(visits.full, True))
@@ -785,7 +788,7 @@ def report_any_accel(sed, visits, qd: QueryData, rd: RefData,
     keep = eord[np.sort(first_ix)]
     hits = [(int(j), int(p), int(e))
             for j, p, e in zip(jw[keep], ppw[keep], pew[keep])]
-    _emit_any(hits, qd, rd, writer, smat)
+    _emit_any(hits, qd, rd, writer, smat, rescore_fn)
     # full-scan unibins: classic full-path order
     if len(sed.full_rows):
         mask = sed.ed_full <= budgets[sed.full_rows][:, None]
@@ -795,18 +798,21 @@ def report_any_accel(sed, visits, qd: QueryData, rd: RefData,
                      for ji, (j, p) in enumerate(zip(sed.full_rows, first))
                      if has[ji]]
         full_hits.sort(key=lambda h: (h[1] // VECSZ, h[0], h[1] % VECSZ))
-        _emit_any(full_hits, qd, rd, writer, smat)
+        _emit_any(full_hits, qd, rd, writer, smat, rescore_fn)
 
 
-def _emit_any(hits, qd: QueryData, rd: RefData, writer: B6Writer, smat):
+def _emit_any(hits, qd: QueryData, rd: RefData, writer: B6Writer, smat,
+              rescore_fn=None):
     from .engine import rescore_winners
 
     if not hits:
         return
+    if rescore_fn is None:
+        rescore_fn = rescore_winners
     juni = np.array([h[0] for h in hits], dtype=np.int64)
     refpos = np.array([h[1] for h in hits], dtype=np.int64)
     eds = np.array([h[2] for h in hits], dtype=np.int64)
-    pods = rescore_winners(qd, rd, juni, refpos, eds, "ANY", smat)
+    pods = rescore_fn(qd, rd, juni, refpos, eds, "ANY", smat)
     # restore input order (rescore_winners re-sorts into pod order)
     pos = {(int(j), int(p)): t for t, (j, p, _) in enumerate(hits)}
     order = sorted(range(len(hits)),
@@ -829,36 +835,38 @@ def _emit_any(hits, qd: QueryData, rd: RefData, writer: B6Writer, smat):
 
 
 def report_any(ed_matrix: np.ndarray, qd: QueryData, rd: RefData,
-               writer: B6Writer, smat=None):
+               writer: B6Writer, smat=None, rescore_fn=None):
     """ANY mode: first valid hit per query in (clump asc, row asc, lane asc)
     scan order; realtime inline printing (burst.c:4457-4475)."""
     from .engine import rescore_winners
 
-    nu = qd.num_uniq
-    rows_of = [[] for _ in range(nu)]
-    for j in range(len(qd.seqs)):
-        rows_of[int(qd.six[j])].append(j)
+    if rescore_fn is None:
+        rescore_fn = rescore_winners
+    nj = len(qd.seqs)
+    budr = qd.ed[qd.six].astype(np.int64)
+    # first qualifying unit per unibin row; the scan order is unit-major
+    # then row-minor, so a base query's winner minimizes (unit, row rank)
+    mask = ed_matrix.astype(np.int64) <= budr[:, None]
+    has_row = mask.any(axis=1)
+    first_p = np.argmax(mask, axis=1)
+    rows = np.nonzero(has_row)[0]
     hits = []  # (clump, juni, lane, refpos)
-    for i in range(nu):
-        rows = rows_of[i]
-        bud = int(qd.ed[i])
-        found = None
-        for p in range(rd.tot_units):
-            for j in rows:
-                if ed_matrix[j, p] <= bud:
-                    found = (p // VECSZ, j, p % VECSZ, p)
-                    break
-            if found:
-                break
-        if found:
-            hits.append(found)
+    if len(rows):
+        order = np.lexsort((rows, first_p[rows], qd.six[rows]))
+        rs = rows[order]
+        head = np.ones(len(rs), dtype=bool)
+        six_s = qd.six[rs]
+        np.not_equal(six_s[1:], six_s[:-1], out=head[1:])
+        for j in rs[head]:
+            p = int(first_p[j])
+            hits.append((p // VECSZ, int(j), p % VECSZ, p))
     hits.sort(key=lambda h: (h[0], h[1], h[2]))
     if not hits:
         return
     juni = np.array([h[1] for h in hits], dtype=np.int64)
     refpos = np.array([h[3] for h in hits], dtype=np.int64)
     eds = np.array([ed_matrix[h[1], h[3]] for h in hits], dtype=np.int64)
-    pods = rescore_winners(qd, rd, juni, refpos, eds, "ANY", smat)
+    pods = rescore_fn(qd, rd, juni, refpos, eds, "ANY", smat)
     # restore scan order (rescore_winners re-sorts into pod order)
     order = np.lexsort((pods.refpos % VECSZ, pods.juni,
                         pods.refpos // VECSZ))

@@ -98,34 +98,55 @@ def align_multihost(a) -> int:
     from .. import engine, modes
     from ..alphabet import score_matrix
     from ..db import edx
-    from ..io.fasta import parse_fasta_fast
+    from ..io.fasta import parse_fasta, parse_fasta_fast
     from ..io.taxonomy import Taxonomy
-    from ..process import bin_queries_for_accel, process_queries
-
-    if a["mode"] == "ANY" or a["prepass"]:
-        print("ERROR: ANY/prepass not supported under multi-host yet")
-        return 1
-    if not edx.is_edx(a["ref"]):
-        print("ERROR: multi-host runs need a prebuilt .edx database")
-        return 1
+    from ..process import (bin_queries_for_accel, process_queries,
+                           process_references)
 
     smat = score_matrix(a["z"])
     qh, qs = parse_fasta_fast(a["query"])
-    qd = process_queries(qh, qs, a["thres"], a["rc"],
+    qd = process_queries(qh, qs, a["thres"],
+                         a["rc"] and not a["prepass"],
                          incl_whitespace=a["whitespace"],
                          xalpha=a["xalpha"])
-    n_clumps, tot_units = edx.edx_dims(a["ref"])
-    c_lo, c_hi = clump_bounds(n_clumps, nprocs, pid)
-    u_lo, u_hi = c_lo * VECSZ, min(c_hi * VECSZ, tot_units)
-    rd, dshear = edx.read_edx(a["ref"], xalpha=a["xalpha"],
-                              clump_range=(c_lo, c_hi))
-    if dshear and int(np.float32(qd.max_len) / np.float32(a["thres"])) \
-            > dshear:
-        print("ERROR: DB incompatible with selected queries/identity.")
-        if not a["heur"]:
-            return 1
+    if edx.is_edx(a["ref"]):
+        n_clumps, tot_units = edx.edx_dims(a["ref"])
+        c_lo, c_hi = clump_bounds(n_clumps, nprocs, pid)
+        u_lo, u_hi = c_lo * VECSZ, min(c_hi * VECSZ, tot_units)
+        rd, dshear = edx.read_edx(a["ref"], xalpha=a["xalpha"],
+                                  clump_range=(c_lo, c_hi))
+        if dshear and int(np.float32(qd.max_len) / np.float32(a["thres"])
+                          ) > dshear:
+            print("ERROR: DB incompatible with selected "
+                  "queries/identity.")
+            if not a["heur"] and not a["prepass"]:
+                return 1
+    else:
+        # raw FASTA: shearing is deterministic, so every host builds
+        # the same RefData in-process (mirrors cli.run) and restricts
+        # its own work to a clump slab via the u_lo/u_hi pair filters;
+        # non-local tiles are never uploaded (burst.c:5139-5141 treats
+        # raw FASTA and .edx uniformly)
+        rh, rs = parse_fasta(a["ref"])
+        rd = process_references(
+            rh, rs, max_len_q=qd.max_len, thres=a["thres"],
+            rebase=a["rebase"], rebase_amt=a["rebase_amt"],
+            curate=1 if a["dedupe"] else 0, xalpha=a["xalpha"],
+            do_fp=a["fp"], z=a["z"], latency=a["latency"],
+            clustradius=a.get("clustradius", 0))
+        tot_units = rd.tot_units
+        n_clumps = tot_units // VECSZ + (1 if tot_units % VECSZ else 0)
+        c_lo, c_hi = clump_bounds(n_clumps, nprocs, pid)
+        u_lo, u_hi = c_lo * VECSZ, min(c_hi * VECSZ, tot_units)
+        # engine kernels restrict tile passes to the local slab
+        rd.unit_range = (u_lo, u_hi)
     taxonomy = Taxonomy.parse(a["tax"], ncbi=a["taxa_ncbi"]) \
         if a["tax"] else None
+
+    if a["prepass"]:
+        return _prepass_multihost(qd, rd, a, taxonomy, smat, pid,
+                                  nprocs, u_lo, u_hi, n_clumps, c_lo,
+                                  c_hi)
 
     visits = None
     if a["accel"]:
@@ -141,6 +162,26 @@ def align_multihost(a) -> int:
     else:
         ed_loc = engine.compute_ed_matrix(qd, rd, smat)
         ed = _gather_min(ed_loc)
+
+    if a["mode"] == "ANY":
+        # the hit choice derives from the merged (globally identical)
+        # phase-A results, so every host computes it; the rescore is a
+        # collective (owner-stitched gather), so every host runs the
+        # reporter -- non-zero ranks write to devnull
+        rescore_fn = _mh_rescore_fn(u_lo, u_hi, nprocs)
+        out_path = a["out"] if pid == 0 else os.devnull
+        with open(out_path, "w") as fh:
+            writer = modes.B6Writer(fh)
+            if isinstance(ed, engine.SparseED):
+                n = len(qd.seqs)
+                qb = max(1, min(16, n // (max(1, a["threads"]) * 128)))
+                modes.report_any_accel(ed, visits, qd, rd, writer,
+                                       smat, qbunch=qb,
+                                       rescore_fn=rescore_fn)
+            else:
+                modes.report_any(ed, qd, rd, writer, smat,
+                                 rescore_fn=rescore_fn)
+        return 0
 
     juni, refpos, eds = engine.select_pods(qd, rd, ed, a["mode"])
     pod_order = None
@@ -269,3 +310,106 @@ def _rescore_multihost(qd, rd, juni, refpos, eds, mode, smat,
         six=qd.six[juni][srt], juni=juni[srt], refpos=refpos[srt],
         ed=out_ed[srt], rc=qd.rc[juni][srt], gap_q=gap_q[srt],
         gap_r=gap_r[srt], final_pos=fpos[srt], score=score[srt])
+
+
+def _mh_rescore_fn(u_lo: int, u_hi: int, nprocs: int):
+    """engine.rescore_winners drop-in whose phase B is owner-local and
+    whose stats merge is the pod-consolidation gather (ANY reporters)."""
+    def fn(qd, rd, juni, refpos, eds, mode, smat):
+        return _rescore_multihost(qd, rd, juni, refpos, eds, mode,
+                                  smat, None, u_lo, u_hi, nprocs)
+    return fn
+
+
+def _prepass_multihost(qd, rd, a, taxonomy, smat, pid: int, nprocs: int,
+                       u_lo: int, u_hi: int, n_clumps: int, c_lo: int,
+                       c_hi: int) -> int:
+    """-p under DB shards: the scour merges per-shard candidate lists
+    under the global first-touch key, the bounded DP runs owner-local
+    with a min-merge, and the sequential emulation replays identically
+    on every host (burst.c:3697-3992; process 0 writes)."""
+    from ..accel import read_acx
+    from ..prepass import run_prepass
+
+    if not a["accel"]:
+        print("ERROR: prepass requires an accelerator (-a)")
+        return 1
+    acc = read_acx(a["accel"], z_required=a["z"],
+                   clump_range=(c_lo, c_hi))
+    a = dict(a)
+    a["smat"] = smat
+    a["_top_lists_fn"] = _mh_top_lists
+    a["_pairs_ed_fn"] = _mh_pairs_ed(u_lo, u_hi)
+    # clump print lengths: sharded .edx reads leave non-local unit lens
+    # 0, so take the elementwise max across hosts (clumps are wholly
+    # owned, burst.c:2690-2699)
+    from jax.experimental import multihost_utils as mhu
+    ulens = rd.lens[rd.ix_srt[: rd.tot_units]].astype(np.int64)
+    cl = np.zeros(n_clumps, dtype=np.int64)
+    if rd.tot_units:
+        np.maximum.at(cl, np.arange(rd.tot_units) // VECSZ, ulens)
+    a["_clump_len"] = np.asarray(mhu.process_allgather(cl)).max(axis=0)
+    out_path = a["out"] if pid == 0 else os.devnull
+    with open(out_path, "w") as fh:
+        return run_prepass(qd, rd, acc, a, fh, taxonomy)
+
+
+def _mh_top_lists(qd, qk, acc, k: int, iters: int, nu: int,
+                  do_rc: bool, n_clumps: int):
+    """Per-query-strand top-ITER lists from per-host posting shards.
+
+    Each host scours its local postings; candidates are allgathered and
+    re-ordered by the global first-touch key (first word occurrence,
+    clump id) -- clump slabs are disjoint, so hit counts concatenate
+    without summing (see prepass._clump_hits on why the key equals the
+    single-index stream order)."""
+    from ..prepass import _clump_hits, _scour_words, _topsort
+
+    nstr = 2 if do_rc else 1
+    gids, cands, hits, fws = [], [], [], []
+    for i in range(nu):
+        for s in range(nstr):
+            seq = qd.seqs[i] if s == 0 else qk.seqs[nu + i]
+            c, h, fw = _clump_hits(acc, _scour_words(seq, k), n_clumps)
+            gids.append(np.full(len(c), i * nstr + s, dtype=np.int64))
+            cands.append(c)
+            hits.append(h)
+            fws.append(fw)
+    z0 = np.zeros(0, np.int64)
+    gi = np.concatenate(gids) if gids else z0
+    ca = np.concatenate(cands) if cands else z0
+    hi = np.concatenate(hits) if hits else z0
+    fw = np.concatenate(fws) if fws else z0
+    parts = _gather_concat([gi, ca, hi, fw])
+    gi, ca, hi, fw = (np.concatenate(p) for p in parts)
+    so = np.lexsort((ca, fw, gi))
+    gi, ca, hi = gi[so], ca[so], hi[so]
+    FM = np.zeros((nu, iters), dtype=np.int64)
+    FI = np.zeros((nu, iters), dtype=np.int64)
+    RM = np.zeros((nu, iters), dtype=np.int64)
+    RI = np.zeros((nu, iters), dtype=np.int64)
+    bounds = np.searchsorted(gi, np.arange(nu * nstr + 1))
+    for g in range(nu * nstr):
+        lo, hi_b = int(bounds[g]), int(bounds[g + 1])
+        M, Ix = _topsort(ca[lo:hi_b], hi[lo:hi_b], iters)
+        i, s = divmod(g, nstr)
+        if s == 0:
+            FM[i], FI[i] = M, Ix
+        else:
+            RM[i], RI[i] = M, Ix
+    return FM, FI, RM, RI
+
+
+def _mh_pairs_ed(u_lo: int, u_hi: int):
+    """prepass pair-ED hook: owner-local exact DP + elementwise
+    min-merge (the pair list is identical on every host)."""
+    def pairs_ed(qk, rd, pj, pp, smat):
+        from .. import engine
+
+        pe = np.full(len(pj), 255, dtype=np.int64)
+        local = (pp >= u_lo) & (pp < u_hi)
+        if local.any():
+            pe[local] = engine._pairs_min_ed(qk, rd, pj[local],
+                                             pp[local], smat)
+        return _gather_min(pe)
+    return pairs_ed

@@ -61,18 +61,26 @@ def _topsort(cands: np.ndarray, hits: np.ndarray, iters: int):
 
 
 def _clump_hits(acc, words: np.ndarray, n_clumps: int):
-    """(cands, hits) per clump; cands in scan first-touch order."""
+    """(cands, hits, first_word) per clump, in scan first-touch order.
+
+    Postings within one word's list are clump-ascending (the builder
+    appends clump-major, burst.c:3414-3487), so the stream first-touch
+    order equals lexicographic (first word occurrence, clump id) -- a
+    key that survives per-host posting shards (parallel/multihost.py
+    merges shard candidates under the same key)."""
+    z3 = (np.zeros(0, np.int64),) * 3
     if not len(words):
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return z3
     starts, seg = acc.csr.lookup(words)
     total = int(seg.sum())
     if total == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    base = np.repeat(starts - np.concatenate(
-        ([0], np.cumsum(seg)[:-1])), seg)
+        return z3
+    segc = np.concatenate(([0], np.cumsum(seg)))
+    base = np.repeat(starts - segc[:-1], seg)
     flat = base + np.arange(total)
     cl = acc.csr.ids[flat].astype(np.int64)
-    so = np.argsort(cl, kind="stable")
+    widx = np.repeat(np.arange(len(words), dtype=np.int64), seg)
+    so = np.argsort(cl, kind="stable")   # stable: stream order kept
     cs = cl[so]
     head = np.empty(total, dtype=bool)
     head[0] = True
@@ -80,9 +88,27 @@ def _clump_hits(acc, words: np.ndarray, n_clumps: int):
     gid = np.cumsum(head) - 1
     hits = np.bincount(gid).astype(np.int64)
     cands = cs[head]
-    first = so[np.nonzero(head)[0]]     # first occurrence in scan order
-    order = np.argsort(first, kind="stable")
-    return cands[order], hits[order]
+    fw = widx[so][head]                  # first word occurrence touching
+    order = np.lexsort((cands, fw))
+    return cands[order], hits[order], fw[order]
+
+
+def _local_top_lists(qd, qk, acc, k: int, iters: int, nu: int,
+                     do_rc: bool, n_clumps: int):
+    """Per-query-strand top-ITER clump lists from the full index."""
+    FM = np.zeros((nu, iters), dtype=np.int64)
+    FI = np.zeros((nu, iters), dtype=np.int64)
+    RM = np.zeros((nu, iters), dtype=np.int64)
+    RI = np.zeros((nu, iters), dtype=np.int64)
+    for i in range(nu):
+        w = _scour_words(qd.seqs[i], k)
+        c, h, _ = _clump_hits(acc, w, n_clumps)
+        FM[i], FI[i] = _topsort(c, h, iters)
+        if do_rc:
+            w = _scour_words(qk.seqs[nu + i], k)
+            c, h, _ = _clump_hits(acc, w, n_clumps)
+            RM[i], RI[i] = _topsort(c, h, iters)
+    return FM, FI, RM, RI
 
 
 def run_prepass(qd: QueryData, rd: RefData, acc, a: dict, out_fh,
@@ -99,10 +125,13 @@ def run_prepass(qd: QueryData, rd: RefData, acc, a: dict, out_fh,
     n_clumps = rd.tot_units // VECSZ + (1 if rd.tot_units % VECSZ else 0)
     nu = qd.num_uniq
 
-    # clump print lengths (max unit length per clump, burst.c:2690-2699)
-    ulens = rd.lens[rd.ix_srt[: rd.tot_units]].astype(np.int64)
-    clump_len = np.zeros(n_clumps, dtype=np.int64)
-    np.maximum.at(clump_len, np.arange(rd.tot_units) // VECSZ, ulens)
+    # clump print lengths (max unit length per clump, burst.c:2690-2699);
+    # multi-host injects a cross-shard max (non-local lens read as 0)
+    clump_len = a.get("_clump_len")
+    if clump_len is None:
+        ulens = rd.lens[rd.ix_srt[: rd.tot_units]].astype(np.int64)
+        clump_len = np.zeros(n_clumps, dtype=np.int64)
+        np.maximum.at(clump_len, np.arange(rd.tot_units) // VECSZ, ulens)
 
     # kernel-side query set: fwd rows then rc rows
     from .alphabet import revcomp
@@ -116,18 +145,17 @@ def run_prepass(qd: QueryData, rd: RefData, acc, a: dict, out_fh,
         rc_flags += [True] * nu
     qk.six = np.array(six, dtype=np.int64)
     qk.rc = np.array(rc_flags, dtype=bool)
+    # qk's row set diverges from qd's; drop the inherited row-indexed
+    # caches (engine._query_matrix et al. rebuild on demand)
+    for attr in ("_qmat", "_peqcache", "_peqdev"):
+        if hasattr(qk, attr):
+            delattr(qk, attr)
 
-    # per-query-strand top lists and visited prefixes
-    FM = np.zeros((nu, iters), dtype=np.int64)
-    FI = np.zeros((nu, iters), dtype=np.int64)
-    RM = np.zeros((nu, iters), dtype=np.int64)
-    RI = np.zeros((nu, iters), dtype=np.int64)
-    for i in range(nu):
-        w = _scour_words(qd.seqs[i], k)
-        FM[i], FI[i] = _topsort(*_clump_hits(acc, w, n_clumps), iters)
-        if do_rc:
-            w = _scour_words(qk.seqs[nu + i], k)
-            RM[i], RI[i] = _topsort(*_clump_hits(acc, w, n_clumps), iters)
+    # per-query-strand top lists and visited prefixes; multi-host runs
+    # inject a shard-merging variant (parallel/multihost.py)
+    top_lists = a.get("_top_lists_fn", _local_top_lists)
+    FM, FI, RM, RI = top_lists(qd, qk, acc, k, iters, nu, do_rc,
+                               n_clumps)
 
     lens = qd.lens.astype(np.int64)
     errs0 = qd.ed.astype(np.int64)
@@ -168,11 +196,16 @@ def run_prepass(qd: QueryData, rd: RefData, acc, a: dict, out_fh,
             ps = ps[ps < rd.tot_units]
             pp_parts.append(ps)
             pj_parts.append(np.full(len(ps), jrow, dtype=np.int64))
+    pairs_ed = a.get("_pairs_ed_fn",
+                     lambda qk, rd, pj, pp, smat:
+                     engine._pairs_min_ed(qk, rd, pj, pp, smat))
     if pj_parts:
         pj = np.concatenate(pj_parts)
         pp = np.concatenate(pp_parts)
-        pe = engine._pairs_min_ed(qk, rd, pj, pp, smat_a)
+        pe = pairs_ed(qk, rd, pj, pp, smat_a)
     else:
+        # the pair list is identical on every host (top lists are
+        # global), so skipping the collective here is symmetric too
         pj = pp = pe = np.zeros(0, dtype=np.int64)
     # (strand-row, unit) -> exact ED lookup
     ekey = pj * rd.tot_units + pp

@@ -38,13 +38,13 @@ def mhset(tmp_path_factory):
     return d, qfa, edx, acx, str(d / "tax.tsv")
 
 
-def _launch(n, cli_args):
+def _launch(n, cli_args, expect=0):
     env = dict(os.environ)
     env.pop("BURST_TPU_MULTIHOST", None)
     res = subprocess.run(
         [sys.executable, LAUNCHER, "-n", str(n), "--"] + cli_args,
         capture_output=True, text=True, env=env, timeout=540)
-    assert res.returncode == 0, res.stderr[-2000:]
+    assert res.returncode == expect, res.stderr[-2000:]
 
 
 @pytest.mark.parametrize("mode,use_tax", [
@@ -74,3 +74,57 @@ def test_multihost_full_path_three_procs(mhset):
     _launch(3, ["-r", edx, "-q", qfa, "-o", mh, "-m", "BEST"])
     with open(sp, "rb") as f1, open(mh, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_multihost_any_accel(mhset):
+    """ANY through the accel path: visit-order hits + collective
+    rescore (burst.c:4239-4275), bytes equal to single-process."""
+    d, qfa, edx, acx, tax = mhset
+    sp = str(d / "sp_any.b6")
+    mh = str(d / "mh_any.b6")
+    golden.run_ours(["-r", edx, "-a", acx, "-q", qfa, "-o", sp,
+                     "-m", "ANY"])
+    _launch(2, ["-r", edx, "-a", acx, "-q", qfa, "-o", mh, "-m", "ANY"])
+    with open(sp, "rb") as f1, open(mh, "rb") as f2:
+        assert f1.read() == f2.read() != b""
+
+
+def test_multihost_any_full(mhset):
+    """ANY through the dense full scan, min-merged across hosts."""
+    d, qfa, edx, acx, tax = mhset
+    sp = str(d / "sp_anyf.b6")
+    mh = str(d / "mh_anyf.b6")
+    golden.run_ours(["-r", edx, "-q", qfa, "-o", sp, "-m", "ANY"])
+    _launch(2, ["-r", edx, "-q", qfa, "-o", mh, "-m", "ANY"])
+    with open(sp, "rb") as f1, open(mh, "rb") as f2:
+        assert f1.read() == f2.read() != b""
+
+
+def test_multihost_prepass(mhset):
+    """-p under shards: merged scour top-lists + owner-local bounded DP
+    (burst.c:3697-3992); bytes equal, exit code 101 preserved."""
+    d, qfa, edx, acx, tax = mhset
+    sp = str(d / "sp_pre.b6")
+    mh = str(d / "mh_pre.b6")
+    golden.run_ours(["-r", edx, "-a", acx, "-q", qfa, "-o", sp,
+                     "-m", "CAPITALIST", "-b", tax, "-p", "-fr"],
+                    expect=101)
+    _launch(3, ["-r", edx, "-a", acx, "-q", qfa, "-o", mh,
+                "-m", "CAPITALIST", "-b", tax, "-p", "-fr"], expect=101)
+    with open(sp, "rb") as f1, open(mh, "rb") as f2:
+        assert f1.read() == f2.read() != b""
+
+
+def test_multihost_raw_fasta(mhset):
+    """Raw-FASTA references: every host shears locally and works its
+    clump slab (burst.c:5139-5141 treats raw FASTA and .edx alike)."""
+    d, qfa, edx, acx, tax = mhset
+    rfa = str(d / "refs.fa")
+    sp = str(d / "sp_raw.b6")
+    mh = str(d / "mh_raw.b6")
+    golden.run_ours(["-r", rfa, "-q", qfa, "-o", sp, "-m", "ALLPATHS",
+                     "-fr", "-s", "200"])
+    _launch(2, ["-r", rfa, "-q", qfa, "-o", mh, "-m", "ALLPATHS",
+                "-fr", "-s", "200"])
+    with open(sp, "rb") as f1, open(mh, "rb") as f2:
+        assert f1.read() == f2.read() != b""
