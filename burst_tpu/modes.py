@@ -751,7 +751,7 @@ def report_any_accel(sed, visits, qd: QueryData, rd: RefData,
         G = np.repeat(np.arange(n_b, dtype=np.int64), cnt)
         starts = visits.offs[z].astype(np.int64)
         P = np.arange(int(cnt.sum()), dtype=np.int64) \
-            - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+            - np.repeat(np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt)
         C = visits.flat[np.repeat(starts, cnt) + P].astype(np.int64)
     # min position per (bunch, clump) key (a BadList clump may repeat)
     vkey = G * n_clumps + C

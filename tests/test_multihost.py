@@ -49,8 +49,8 @@ def _launch(n, cli_args, expect=0):
 
 @pytest.mark.parametrize("mode,use_tax", [
     ("BEST", False),
-    ("ALLPATHS", False),
-    ("CAPITALIST", True),
+    pytest.param("ALLPATHS", False, marks=pytest.mark.full),
+    pytest.param("CAPITALIST", True, marks=pytest.mark.full),
 ])
 def test_multihost_accel_bit_identical(mhset, mode, use_tax):
     d, qfa, edx, acx, tax = mhset
@@ -65,6 +65,7 @@ def test_multihost_accel_bit_identical(mhset, mode, use_tax):
         assert f1.read() == f2.read(), f"{mode} multihost bytes differ"
 
 
+@pytest.mark.full
 def test_multihost_full_path_three_procs(mhset):
     """Non-accel full scan, 3 processes (uneven last shard)."""
     d, qfa, edx, acx, tax = mhset
@@ -76,6 +77,7 @@ def test_multihost_full_path_three_procs(mhset):
         assert f1.read() == f2.read()
 
 
+@pytest.mark.full
 def test_multihost_any_accel(mhset):
     """ANY through the accel path: visit-order hits + collective
     rescore (burst.c:4239-4275), bytes equal to single-process."""
@@ -89,6 +91,7 @@ def test_multihost_any_accel(mhset):
         assert f1.read() == f2.read() != b""
 
 
+@pytest.mark.full
 def test_multihost_any_full(mhset):
     """ANY through the dense full scan, min-merged across hosts."""
     d, qfa, edx, acx, tax = mhset
@@ -100,6 +103,7 @@ def test_multihost_any_full(mhset):
         assert f1.read() == f2.read() != b""
 
 
+@pytest.mark.full
 def test_multihost_prepass(mhset):
     """-p under shards: merged scour top-lists + owner-local bounded DP
     (burst.c:3697-3992); bytes equal, exit code 101 preserved."""
@@ -115,6 +119,7 @@ def test_multihost_prepass(mhset):
         assert f1.read() == f2.read() != b""
 
 
+@pytest.mark.full
 def test_multihost_raw_fasta(mhset):
     """Raw-FASTA references: every host shears locally and works its
     clump slab (burst.c:5139-5141 treats raw FASTA and .edx alike)."""
