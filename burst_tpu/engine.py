@@ -15,6 +15,7 @@ import dataclasses
 
 import numpy as np
 
+from . import devtime
 from .alphabet import score_matrix
 from .kernels import myers
 from .kernels.rescore import (  # noqa: F401
@@ -253,7 +254,7 @@ def iter_ed_blocks(qd: QueryData, rd: RefData, smat: np.ndarray,
     pending = []
 
     def _drain():
-        host = jax.device_get([b for _, _, b, _, _ in pending])
+        host = devtime.fetch([b for _, _, b, _, _ in pending])
         out = []
         for (rws, pss, _, nq, nt), block in zip(pending, host):
             block = np.minimum(block, 255).astype(np.uint8)
@@ -588,7 +589,7 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
     # separate conversions each pay a device->host RPC round trip
     if pending:
         import jax
-        host = jax.device_get([dev for _, _, dev, _ in pending])
+        host = devtime.fetch([dev for _, _, dev, _ in pending])
         for ci, (part, qlens, dev, xc) in enumerate(pending):
             h = host[ci]
             e, gq, gr, fp, sc = rescore_finalize_host(
@@ -677,7 +678,7 @@ class SparseED:
             self.pe = np.full(len(self.pj), 255, dtype=np.int64)
             self.plast = np.full(len(self.pj), -1, dtype=np.int64)
             self.pfirst = np.full(len(self.pj), -1, dtype=np.int64)
-            host = jax.device_get([res for _, res in self.pending])
+            host = devtime.fetch([res for _, res in self.pending])
             for (part, _), h in zip(self.pending, host):
                 if h.ndim == 2:       # packed [3, B] (ed, first, last)
                     self.pe[part] = h[0][: len(part)]
@@ -1773,7 +1774,7 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
         return pending
     if pending:
         import jax
-        host = jax.device_get([res for _, res in pending])
+        host = devtime.fetch([res for _, res in pending])
         for (part, _), h in zip(pending, host):
             out[part] = (h[0] if h.ndim == 2 else h)[: len(part)]
     return out
@@ -1816,7 +1817,7 @@ def _pairs_slab_stream(qd: QueryData, rd: RefData, sel, pj, pp, W: int,
     sids = trows_s // slab
 
     def _resolve(chunks, into):
-        host = jax.device_get([d for _, d in chunks])
+        host = devtime.fetch([d for _, d in chunks])
         for (part, _), h in zip(chunks, host):
             into.append((part, h))
 

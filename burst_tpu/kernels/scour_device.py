@@ -30,6 +30,8 @@ import functools
 
 import numpy as np
 
+from .. import devtime
+
 VECSZ = 16
 DEAD = np.int32(2**31 - 1)   # sort sentinel (x64 is disabled in JAX)
 
@@ -386,7 +388,7 @@ def _chunk_finish_bunch(chunks, n, tot_units, cap_factor: int, C: int):
     import jax
 
     capc = capu = cap_factor * C
-    fetched = jax.device_get([r for _, _, r in chunks])
+    fetched = devtime.fetch([r for _, _, r in chunks])
     ov = np.zeros(n, dtype=bool)
     parts = {key: [] for key in ("cj", "ccl", "chits", "cminw",
                                  "ukeys")}
@@ -609,7 +611,7 @@ def _chunk_finish(chunks, n, tot_units, aligned: bool,
     import jax
 
     capc = capu = cap_factor * CHUNK_ROWS
-    fetched = jax.device_get([r for _, _, r in chunks])
+    fetched = devtime.fetch([r for _, _, r in chunks])
     ov = np.zeros(n, dtype=bool)
     parts = {key: [] for key in
              ("cj", "ccl", "chits", "cminw", "ukeys", "uj", "uu",

@@ -91,8 +91,21 @@ def _pad_peq_q(peq, q_shards: int):
     return peq, rq
 
 
+def _stat_add(stats, key, val):
+    if stats is not None:
+        stats[key] = stats.get(key, 0.0) + val
+
+
+def _stat_pairs(stats, shard, nsh):
+    if stats is not None:
+        c = np.bincount(shard, minlength=nsh).astype(np.int64)
+        prev = stats.get("pairs_per_shard")
+        stats["pairs_per_shard"] = c if prev is None else prev + c
+
+
 def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
-                                    n_shards: int, q_shards: int = 1):
+                                    n_shards: int, q_shards: int = 1,
+                                    stats: dict | None = None):
     """Phase A over accelerator candidate pairs on a (q x db) mesh
     (the production multi-chip layout, SURVEY.md section 2.3): each
     db-shard owns a contiguous slab of the sorted unit array, each
@@ -102,7 +115,15 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
     reference's cross-thread pod consolidation (burst.c:4490-4519) --
     the resulting SparseED is identical to the single-device one, so
     every downstream mode stays bit-identical.
+
+    `stats` (optional dict) accumulates scaling diagnostics: route_s
+    (host-side pair->shard routing), scan_s (blocked on the sharded
+    device scan), merge_s (host-side result merge), pairs_per_shard
+    (load balance across the flat q*db shard grid) -- the inputs to a
+    scaling-efficiency report (see tools/scaling_probe.py).
     """
+    import time as _time
+
     from .. import engine
 
     mesh = make_mesh2(n_shards, q_shards)
@@ -125,6 +146,7 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
     qws = qw_all[pj]
     order = np.arange(n)
     for W in np.unique(qws):
+        t0 = _time.perf_counter()
         sel = order[qws == W]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
         peq, rq = _pad_peq_q(peq, q_shards)
@@ -145,6 +167,7 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
         pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
         pidx_m[qs, ds, pos_in_shard] = (qrow % rq).astype(np.int32)
         tloc_m[qs, ds, pos_in_shard] = tloc.astype(np.int32)
+        _stat_pairs(stats, shard, nsh)
 
         def per_shard(peq_l, tiles_l, pidx_l, tloc_l):
             return myers.myers_min_ed_gather_pos(
@@ -157,24 +180,33 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
                       P("q", "db", None), P("q", "db", None)),
             out_specs=P("q", "db", None, None),
             check_vma=False))
+        t1 = _time.perf_counter()
+        _stat_add(stats, "route_s", t1 - t0)
         out = np.asarray(fn(jnp.asarray(peq), tiles_dev,
                             jnp.asarray(pidx_m), jnp.asarray(tloc_m)))
+        t2 = _time.perf_counter()
+        _stat_add(stats, "scan_s", t2 - t1)
         sed.pe[sel] = np.minimum(out[qs, ds, 0, pos_in_shard], 255)
         sed.pfirst[sel] = out[qs, ds, 1, pos_in_shard]
         sed.plast[sel] = out[qs, ds, 2, pos_in_shard]
+        _stat_add(stats, "merge_s", _time.perf_counter() - t2)
     return sed
 
 
 def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
                             n_shards: int, pod_order=None,
-                            q_shards: int = 1):
+                            q_shards: int = 1,
+                            stats: dict | None = None):
     """Phase B with winners routed to the (q, db) shard owning their
     (query block, unit slab).
 
     Per-shard full-width tie-aware rescore (kernels/rescore core) over
     the same sharded tile slabs; merged host-side into Pods identical
-    to engine.rescore_winners.
+    to engine.rescore_winners. `stats` accumulates route_s/scan_s/
+    merge_s/pairs_per_shard as in compute_ed_matrix_accel_sharded.
     """
+    import time as _time
+
     from .. import engine
     from ..kernels.rescore import _CACHE, make_rescore, \
         rescore_finalize_host
@@ -198,6 +230,7 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
     if core is None:
         core = _CACHE[smat.tobytes()] = make_rescore(smat)
     for W in (np.unique(qws) if n else ()):
+        t0 = _time.perf_counter()
         sel = order[qws == W]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
         peq, rq = _pad_peq_q(peq, q_shards)
@@ -236,9 +269,14 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
                       P("q", "db", None), P("q", "db", None)),
             out_specs=P("q", "db", None, None),
             check_vma=False))
+        _stat_pairs(stats, shard, q_shards * n_shards)
+        t1 = _time.perf_counter()
+        _stat_add(stats, "route_s", t1 - t0)
         out = np.asarray(fn(jnp.asarray(peq), tiles_dev,
                             jnp.asarray(pidx_m), jnp.asarray(tloc_m),
                             jnp.asarray(qlen_m), jnp.asarray(bnd_m)))
+        t2 = _time.perf_counter()
+        _stat_add(stats, "scan_s", t2 - t1)
         e, gq, gr, fp, sc = rescore_finalize_host(
             out[qs, ds, 0, pos_in_shard], out[qs, ds, 1, pos_in_shard],
             out[qs, ds, 2, pos_in_shard], out[qs, ds, 3, pos_in_shard],
@@ -248,6 +286,7 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
         gap_r[sel] = gr
         fpos[sel] = fp
         score[sel] = sc
+        _stat_add(stats, "merge_s", _time.perf_counter() - t2)
     # pod ordering identical to engine.rescore_winners
     if pod_order is not None:
         srt = pod_order

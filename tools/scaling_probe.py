@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Multi-chip scaling instrumentation probe (VERDICT r2 item 5).
+
+Measures, on whatever devices the backend exposes:
+
+  1. the sharded-helper overhead at n_shards=1 vs the plain
+     single-device production path (same real chip, same workload,
+     results asserted identical) -- the fixed cost a mesh run pays
+     before any parallel speedup; target <5%;
+  2. per-shard load balance (pairs_per_shard) and the host-side
+     route/scan/merge split of the sharded helpers (stats dicts in
+     parallel/mesh.py) -- the inputs to a scaling-efficiency number
+     the moment real multi-chip hardware exists:
+         eff(N) = T_plain(1) / (N * T_batch(N))
+     with T_batch measured exactly as here (scan_s is the blocked
+     all-shard scan; route_s+merge_s is the host overhead that does
+     not shrink with N).
+
+Usage:
+    python tools/scaling_probe.py                 # real chip, shards=1
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/scaling_probe.py --mesh 2x4  # virtual 8-dev mesh
+
+Prints one JSON line per section; tools/update_scaling_md.py folds
+them into SCALING.md.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+N_FAM = int(os.environ.get("PROBE_FAMILIES", 32))
+N_MEM = int(os.environ.get("PROBE_MEMBERS", 8))
+FAM_LEN = int(os.environ.get("PROBE_FAMLEN", 5000))
+N_READS = int(os.environ.get("PROBE_READS", 4000))
+READ_LEN = 100
+THRES = 0.98
+
+os.environ.setdefault("BURST_TPU_SCOUR_E", "1024")
+
+
+def make_workload(rng):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    refs, rheads = [], []
+    n_mut = int(0.01 * FAM_LEN)
+    for fi in range(N_FAM):
+        anc = rng.choice(bases, size=FAM_LEN)
+        for m in range(N_MEM):
+            r = anc.copy()
+            pos = rng.integers(0, FAM_LEN, n_mut)
+            r[pos] = bases[rng.integers(0, 4, n_mut)]
+            refs.append(r)
+            rheads.append(f"f{fi:04d}m{m:02d}".encode())
+    reads, qheads = [], []
+    for i in range(N_READS):
+        s = refs[int(rng.integers(0, len(refs)))]
+        st = int(rng.integers(0, len(s) - READ_LEN))
+        r = s[st:st + READ_LEN].copy()
+        for _ in range(int(rng.integers(0, 3))):
+            r[int(rng.integers(0, READ_LEN))] = \
+                bases[int(rng.integers(0, 4))]
+        reads.append(r)
+        qheads.append(f"q{i:05d}".encode())
+    return rheads, refs, qheads, reads
+
+
+def pods_key(pods):
+    return (pods.juni.tobytes(), pods.refpos.tobytes(),
+            pods.ed.tobytes(), pods.score.tobytes(),
+            pods.gap_q.tobytes(), pods.gap_r.tobytes(),
+            pods.final_pos.tobytes())
+
+
+def run_plain(qd, rd, acc, qbins, smat, mode="BEST"):
+    from burst_tpu import engine
+
+    visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
+    ed = engine.compute_ed_matrix_accel(qd, rd, visits, smat,
+                                        defer=True)
+    juni, refpos, eds = engine.select_pods(qd, rd, ed, mode)
+    pod_order = engine.accel_pod_order(qd, rd, visits, juni, refpos,
+                                       eds)
+    win_cols = ed.lookup_cols(juni, refpos, rd.tot_units)
+    return engine.rescore_winners(qd, rd, juni, refpos, eds, mode,
+                                  smat, pod_order, win_cols=win_cols)
+
+
+def run_sharded(qd, rd, acc, qbins, smat, n_shards, q_shards,
+                stats, mode="BEST"):
+    from burst_tpu import engine
+    from burst_tpu.parallel.mesh import (
+        compute_ed_matrix_accel_sharded, rescore_winners_sharded)
+
+    visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
+    ed = compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
+                                         n_shards, q_shards,
+                                         stats=stats)
+    juni, refpos, eds = engine.select_pods(qd, rd, ed, mode)
+    pod_order = engine.accel_pod_order(qd, rd, visits, juni, refpos,
+                                       eds)
+    return rescore_winners_sharded(qd, rd, juni, refpos, eds, mode,
+                                   smat, n_shards, pod_order, q_shards,
+                                   stats=stats)
+
+
+def main() -> int:
+    import jax
+
+    from burst_tpu.cli import _pin_platform
+    _pin_platform()  # JAX_PLATFORMS=cpu wins over the axon plugin
+
+    from burst_tpu.accel import build_accelerator
+    from burst_tpu.alphabet import score_matrix
+    from burst_tpu.process import (bin_queries_for_accel,
+                                   process_queries, process_references)
+
+    mesh_arg = "1x1"
+    if "--mesh" in sys.argv:
+        mesh_arg = sys.argv[sys.argv.index("--mesh") + 1]
+    q_shards, n_shards = (int(x) for x in mesh_arg.split("x"))
+    ndev = len(jax.devices())
+    plat = jax.devices()[0].platform
+    if n_shards * q_shards > ndev:
+        print(f"ERROR: mesh {mesh_arg} needs {n_shards*q_shards} "
+              f"devices, backend has {ndev}", file=sys.stderr)
+        return 1
+
+    rng = np.random.default_rng(20260819)
+    rheads, refs, qheads, reads = make_workload(rng)
+    db_bp = sum(len(r) for r in refs)
+    rd = process_references(rheads, [r.copy() for r in refs],
+                            max_len_q=READ_LEN, thres=THRES,
+                            rebase=True, rebase_amt=320, curate=2)
+    acc = build_accelerator(rd, k=12, z=1)
+    smat = score_matrix()
+    qd = process_queries(list(qheads), [r.copy() for r in reads],
+                         THRES, True)
+    qbins = bin_queries_for_accel(qd, acc.k, acc.z)
+
+    # warm both paths (compiles), then time
+    pods_p = run_plain(qd, rd, acc, qbins, smat)
+    stats = {}
+    pods_s = run_sharded(qd, rd, acc, qbins, smat, n_shards, q_shards,
+                         stats)
+    assert pods_key(pods_p) == pods_key(pods_s), \
+        "sharded pods != plain pods"
+
+    t0 = time.perf_counter()
+    run_plain(qd, rd, acc, qbins, smat)
+    t_plain = time.perf_counter() - t0
+
+    stats = {}
+    t0 = time.perf_counter()
+    run_sharded(qd, rd, acc, qbins, smat, n_shards, q_shards, stats)
+    t_shard = time.perf_counter() - t0
+
+    pps = stats.get("pairs_per_shard")
+    balance = (float(pps.mean() / pps.max())
+               if pps is not None and pps.max() else 1.0)
+    print(json.dumps({
+        "section": "sharded_vs_plain",
+        "backend": plat, "devices": ndev,
+        "mesh": f"q={q_shards} x db={n_shards}",
+        "db_bp": db_bp, "reads": N_READS,
+        "t_plain_s": round(t_plain, 3),
+        "t_sharded_s": round(t_shard, 3),
+        "overhead_pct": round(100 * (t_shard - t_plain) / t_plain, 1),
+        "route_s": round(stats.get("route_s", 0.0), 3),
+        "scan_s": round(stats.get("scan_s", 0.0), 3),
+        "merge_s": round(stats.get("merge_s", 0.0), 3),
+        "pairs_per_shard": (pps.tolist() if pps is not None else None),
+        "load_balance": round(balance, 3),
+        "identical": True,
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

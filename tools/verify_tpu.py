@@ -65,11 +65,12 @@ def _ours(args, env=None):
                 os.environ[k] = v
 
 
-def _wait_for_device(max_tries: int = 15):
+def _wait_for_device(max_wait: float = 300.0):
     """The tunneled dev TPU stalls for minutes at a time; wait for a
     healthy round-trip (probed in subprocesses -- an in-process
     device_get on a hung tunnel blocks forever) before driving the
-    golden set. Proceeds regardless after max_tries."""
+    golden set. The wait is capped at `max_wait` seconds; after that,
+    proceed regardless."""
     import subprocess
     import time
 
@@ -77,15 +78,16 @@ def _wait_for_device(max_tries: int = 15):
         return
     probe = ("import jax, jax.numpy as jnp;"
              "jax.device_get(jnp.zeros((8,), jnp.int32) + 1)")
-    for _ in range(max_tries):
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               timeout=90, capture_output=True)
+                               timeout=60, capture_output=True)
             if r.returncode == 0:
                 return
         except subprocess.TimeoutExpired:
             pass
-        time.sleep(45)
+        time.sleep(15)
 
 
 def main() -> int:
@@ -169,15 +171,23 @@ def main() -> int:
             _check(f"accel {mode} [{sname}]", ob6, mb6)
 
     # --- slab streaming under a forced tiny HBM budget ---------------
+    # oracle outputs are re-derived here (not reused from the accel
+    # section) so a failure there cannot mask a slab diff
     print("slab streaming (BURST_TPU_TILE_HBM_MB=0.0001):")
     for mode in ("BEST", "ALLPATHS"):
-        ob6 = os.path.join(d, f"oa_{mode}.b6")
+        ob6 = os.path.join(d, f"os_{mode}.b6")
         mb6 = os.path.join(d, f"ms_{mode}.b6")
+        res = golden.run_oracle(["-r", oedx, "-a", oacx, "-q", qfa,
+                                 "-o", ob6, "-m", mode], db12=True)
+        assert res.returncode == 0, res.stderr + res.stdout
         _ours(["-r", medx, "-a", macx, "-q", qfa, "-o", mb6, "-m", mode],
               env={"BURST_TPU_SCOUR_N": "12",
                    "BURST_TPU_TILE_HBM_MB": "0.0001"})
         _check(f"slab accel {mode}", ob6, mb6)
-    ob6 = os.path.join(d, "o_BEST.b6")
+    ob6 = os.path.join(d, "os_direct.b6")
+    res = golden.run_oracle(["-r", rfa, "-q", qfa, "-o", ob6,
+                             "-m", "BEST", "-fr"])
+    assert res.returncode == 0, res.stderr + res.stdout
     mb6 = os.path.join(d, "ms_direct.b6")
     _ours(["-r", rfa, "-q", qfa, "-o", mb6, "-m", "BEST", "-fr"],
           env={"BURST_TPU_TILE_HBM_MB": "0.0001"})
