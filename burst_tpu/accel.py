@@ -255,12 +255,55 @@ def build_accelerator(rd: RefData, k: int = 15, z: int = 1,
     if skip_ambig:
         bad_pure[:] = False
 
-    # keys pack WORD-major (word * n_sources + source): one unique()
-    # lands directly in CSR layout -- per-word postings ascend by
-    # clump, exactly the serialized .acx order -- with no second sort
-    key_parts: list[np.ndarray] = []
     ok_pure = pure_clump & ~bad_pure
     usel = ok_pure[clump_of] & (lens >= k)
+
+    # mixed clumps: literal reference logic (expansion, budget)
+    bad: list[int] = []
+    mixed_words: dict[int, np.ndarray] = {}
+    for c in np.nonzero(~pure_clump)[0]:
+        begin, end = c * VECSZ, min(n_units, (c + 1) * VECSZ)
+        seqs = [_unit_kseq(rd, p) for p in range(begin, end)]
+        if not skip_ambig and _clump_is_bad(seqs, k, z):
+            bad.append(int(c))
+            continue
+        words = np.unique(_clump_words(seqs, k, z,
+                                       skip_ambig).astype(np.int64))
+        if words.size:
+            mixed_words[int(c)] = words
+    all_bad = np.sort(np.concatenate(
+        [np.nonzero(bad_pure)[0].astype(np.int64),
+         np.array(bad, dtype=np.int64)])).astype(np.uint32)
+
+    # native two-pass build (no O(total-windows) key sort; see
+    # native.accel_build_native) -- output is identical to the numpy
+    # unique()-based path below, which remains as the fallback
+    from .native import accel_build_native
+    moffs = np.zeros(tot_rc + 1, dtype=np.int64)
+    for c, w in mixed_words.items():
+        moffs[c + 1] = len(w)
+    np.cumsum(moffs, out=moffs)
+    mwords = (np.concatenate([mixed_words[c]
+                              for c in sorted(mixed_words)])
+              if mixed_words else np.zeros(0, dtype=np.int64))
+    cu_counts = np.bincount(clump_of[usel], minlength=tot_rc) \
+        if usel.any() else np.zeros(tot_rc, dtype=np.int64)
+    cu_offs = np.zeros(tot_rc + 1, dtype=np.int64)
+    np.cumsum(cu_counts, out=cu_offs[1:])
+    res = accel_build_native(
+        cat[np.repeat(usel, lens)] if usel.any()
+        else np.zeros(0, np.uint8),
+        np.concatenate(([0], np.cumsum(lens[usel]))), cu_offs,
+        mwords, moffs, tot_rc, k)
+    if res is not None:
+        nzw, cnt, ids = res
+        return Accelerator(k, SparseCSR(nzw, cnt, ids), all_bad, z)
+
+    # numpy fallback: keys pack WORD-major (word * n_sources + source):
+    # one unique() lands directly in CSR layout -- per-word postings
+    # ascend by clump, exactly the serialized .acx order -- with no
+    # second sort
+    key_parts: list[np.ndarray] = []
     if usel.any():
         psel = np.nonzero(usel)[0]
         pcat = cat[np.repeat(usel, lens)]
@@ -276,23 +319,8 @@ def build_accelerator(rd: RefData, k: int = 15, z: int = 1,
             wsel = np.nonzero(valid)[0]
             key_parts.append(words[wsel] * np.int64(tot_rc)
                              + clump_of[psel[uid[wsel]]])
-
-    # mixed clumps: literal reference logic (expansion, budget)
-    bad: list[int] = []
-    for c in np.nonzero(~pure_clump)[0]:
-        begin, end = c * VECSZ, min(n_units, (c + 1) * VECSZ)
-        seqs = [_unit_kseq(rd, p) for p in range(begin, end)]
-        if not skip_ambig and _clump_is_bad(seqs, k, z):
-            bad.append(int(c))
-            continue
-        words = _clump_words(seqs, k, z, skip_ambig)
-        if words.size:
-            key_parts.append(
-                np.unique(words.astype(np.int64)) * np.int64(tot_rc)
-                + np.int64(c))
-    all_bad = np.sort(np.concatenate(
-        [np.nonzero(bad_pure)[0].astype(np.int64),
-         np.array(bad, dtype=np.int64)])).astype(np.uint32)
+    for c, words in mixed_words.items():
+        key_parts.append(words * np.int64(tot_rc) + np.int64(c))
     if not key_parts:
         z0 = np.zeros(0, dtype=np.int64)
         return Accelerator(k, SparseCSR(z0, z0,

@@ -693,3 +693,85 @@ long b6_format(
 }
 
 }  // extern "C"
+
+// ------------------------------------------------- accelerator build
+// Two-pass clump-postings construction, the native analog of the
+// reference's make_accelerator (burst.c:3304-3532): pass 1 counts
+// postings per k-mer word, pass 2 fills clump ids at per-word offsets.
+// Iterating clumps in ascending id keeps every word's posting list
+// clump-ascending -- exactly the serialized .acx order -- without the
+// O(total-windows) global sort the numpy path pays.
+//
+// Pure-ACGT clumps are recomputed from the packed letters both passes
+// (cheap rolling-word sweep; no giant temporaries). Clumps with IUPAC
+// letters take their pre-deduped, sorted word lists from the caller
+// (mwords/moffs; ambiguity expansion stays in Python -- it is rare and
+// branchy). A clump id appears once per distinct word (within-clump
+// dedupe via sort+unique of a small per-clump scratch).
+
+static void clump_uwords(
+    const uint8_t* cat, const int64_t* uoffs, const int64_t* cu_offs,
+    long c, int k, std::vector<int64_t>& scratch)
+{
+    scratch.clear();
+    const int64_t mask = ((int64_t)1 << (2 * k)) - 1;
+    for (int64_t u = cu_offs[c]; u < cu_offs[c + 1]; ++u) {
+        const uint8_t* s = cat + uoffs[u];
+        long len = (long)(uoffs[u + 1] - uoffs[u]);
+        int64_t w = 0;
+        for (long t = 0; t < len; ++t) {
+            w = ((w << 2) | (int64_t)(s[t] - 1)) & mask;
+            if (t >= k - 1) scratch.push_back(w);
+        }
+    }
+    std::sort(scratch.begin(), scratch.end());
+    scratch.erase(std::unique(scratch.begin(), scratch.end()),
+                  scratch.end());
+}
+
+extern "C" {
+
+// Pass 1: counts[w] += 1 per (word, clump) incidence. counts is
+// caller-zeroed uint32[4^k]. Returns total postings.
+int64_t accel_count(
+    const uint8_t* cat, const int64_t* uoffs, const int64_t* cu_offs,
+    const int64_t* mwords, const int64_t* moffs,
+    long tot_rc, int k, uint32_t* counts)
+{
+    int64_t total = 0;
+    std::vector<int64_t> scratch;
+    for (long c = 0; c < tot_rc; ++c) {
+        if (moffs[c + 1] > moffs[c]) {
+            for (int64_t i = moffs[c]; i < moffs[c + 1]; ++i)
+                ++counts[mwords[i]];
+            total += moffs[c + 1] - moffs[c];
+        } else if (cu_offs[c + 1] > cu_offs[c]) {
+            clump_uwords(cat, uoffs, cu_offs, c, k, scratch);
+            for (int64_t w : scratch) ++counts[w];
+            total += (int64_t)scratch.size();
+        }
+    }
+    return total;
+}
+
+// Pass 2: ids[cur[w]++] = clump. cur is the exclusive per-word start
+// offset array (int64[4^k], caller-initialized from the pass-1 counts
+// cumsum); it is advanced in place.
+void accel_fill(
+    const uint8_t* cat, const int64_t* uoffs, const int64_t* cu_offs,
+    const int64_t* mwords, const int64_t* moffs,
+    long tot_rc, int k, int64_t* cur, uint32_t* ids)
+{
+    std::vector<int64_t> scratch;
+    for (long c = 0; c < tot_rc; ++c) {
+        if (moffs[c + 1] > moffs[c]) {
+            for (int64_t i = moffs[c]; i < moffs[c + 1]; ++i)
+                ids[cur[mwords[i]]++] = (uint32_t)c;
+        } else if (cu_offs[c + 1] > cu_offs[c]) {
+            clump_uwords(cat, uoffs, cu_offs, c, k, scratch);
+            for (int64_t w : scratch) ids[cur[w]++] = (uint32_t)c;
+        }
+    }
+}
+
+}  // extern "C"
