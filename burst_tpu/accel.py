@@ -291,8 +291,9 @@ def build_accelerator(rd: RefData, k: int = 15, z: int = 1,
     cu_offs = np.zeros(tot_rc + 1, dtype=np.int64)
     np.cumsum(cu_counts, out=cu_offs[1:])
     res = accel_build_native(
-        cat[np.repeat(usel, lens)] if usel.any()
-        else np.zeros(0, np.uint8),
+        cat if usel.all()                # no 2x-catbytes temporaries
+        else (cat[np.repeat(usel, lens)] if usel.any()
+              else np.zeros(0, np.uint8)),
         np.concatenate(([0], np.cumsum(lens[usel]))), cu_offs,
         mwords, moffs, tot_rc, k)
     if res is not None:
@@ -368,9 +369,53 @@ def build_unit_index(rd: RefData, acc: "Accelerator",
     key_parts: list[np.ndarray] = []
     span = np.int64(1) << np.int64(2 * k)
 
+    # native two-pass build: rows are unit positions, so the same
+    # counting-sort kernel as the clump index yields unit-granular
+    # postings without the O(total-windows) word array (which alone is
+    # ~8 bytes/bp -- unbuildable on a multi-GB database)
+    ue = np.nonzero(elig)[0]
+    if len(ue) and (z or skip_ambig) and k <= 15:
+        from .native import accel_build_native
+        cat = np.concatenate([_unit_kseq(rd, p) for p in ue]) \
+            if len(ue) else np.zeros(0, np.uint8)
+        ulen = lens[ue].astype(np.int64)
+        offs = np.zeros(len(ue) + 1, dtype=np.int64)
+        np.cumsum(ulen, out=offs[1:])
+        umax = np.zeros(len(ue), dtype=np.uint8)
+        nz = ulen > 0
+        if nz.any():
+            umax[nz] = np.maximum.reduceat(cat, offs[:-1][nz])
+        pure = umax <= 4
+        mixed_words: dict[int, np.ndarray] = {}
+        for j in np.nonzero(~pure)[0]:
+            words = _clump_words([cat[offs[j]: offs[j + 1]]], k, z,
+                                 skip_ambig)
+            if words.size:
+                mixed_words[int(ue[j])] = np.unique(
+                    words.astype(np.int64))
+        moffs = np.zeros(n_units + 1, dtype=np.int64)
+        for p, w in mixed_words.items():
+            moffs[p + 1] = len(w)
+        np.cumsum(moffs, out=moffs)
+        mwords = (np.concatenate([mixed_words[p]
+                                  for p in sorted(mixed_words)])
+                  if mixed_words else np.zeros(0, dtype=np.int64))
+        pcnt = np.zeros(n_units, dtype=np.int64)
+        pcnt[ue[pure]] = 1
+        cu_offs = np.zeros(n_units + 1, dtype=np.int64)
+        np.cumsum(pcnt, out=cu_offs[1:])
+        cat_pure = cat[np.repeat(pure, ulen)] if not pure.all() else cat
+        offs_pure = np.zeros(int(pure.sum()) + 1, dtype=np.int64)
+        np.cumsum(ulen[pure], out=offs_pure[1:])
+        res = accel_build_native(cat_pure, offs_pure, cu_offs, mwords,
+                                 moffs, n_units, k)
+        if res is not None:
+            nzw, cnt, ids = res
+            acc.u_csr = SparseCSR(nzw, cnt, ids)
+            return
+
     # fast vectorized path (z or skip_ambig: windows with the skip code
     # are dropped; remaining ambiguous windows are DFS-expanded below)
-    ue = np.nonzero(elig)[0]
     if len(ue) and (z or skip_ambig):
         cat = np.concatenate([_unit_kseq(rd, p) for p in ue])
         ulen = lens[ue]

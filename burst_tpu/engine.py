@@ -86,6 +86,27 @@ def _query_matrix(qd: QueryData):
     return cache
 
 
+def _fill_rows(mat: np.ndarray, rd: RefData, positions: np.ndarray):
+    """Copy units (sorted positions) into the zero-padded row matrix.
+
+    Chunked native memcpy: the per-row Python loop costs minutes on a
+    multi-GB bucket (tens of millions of rows); chunking bounds the
+    concatenation scratch."""
+    from .native import pad_rows_native
+    seqs, ix = rd.seqs, rd.ix_srt
+    step = 1 << 20
+    for c0 in range(0, len(positions), step):
+        chunk = [seqs[ix[p]] for p in positions[c0:c0 + step]]
+        lens = np.fromiter((len(s) for s in chunk), np.int64,
+                           count=len(chunk))
+        offs = np.zeros(len(chunk) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        cat = np.concatenate(chunk) if chunk else np.zeros(0, np.uint8)
+        if not pad_rows_native(cat, offs, mat[c0:c0 + len(chunk)]):
+            for i, s in enumerate(chunk):
+                mat[c0 + i, : len(s)] = s
+
+
 def _tile_matrix(rd: RefData, lb: int, positions: np.ndarray, pad: int):
     """Cached [n, lb+pad] padded tile matrix for one length bucket."""
     cache = getattr(rd, "_tilecache", None)
@@ -97,9 +118,7 @@ def _tile_matrix(rd: RefData, lb: int, positions: np.ndarray, pad: int):
     if got is not None:
         return got
     mat = np.zeros((len(positions), lb + pad), dtype=np.uint8)
-    for i, p in enumerate(positions):
-        s = rd.seqs[rd.ix_srt[p]]
-        mat[i, : len(s)] = s
+    _fill_rows(mat, rd, positions)
     pos2row = np.full(rd.tot_units, -1, dtype=np.int64)
     pos2row[positions] = np.arange(len(positions))
     cache[key] = (mat, pos2row)

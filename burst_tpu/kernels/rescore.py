@@ -32,6 +32,7 @@ Limits of the packed fast path: tile length <= 7679 columns and 32*W <=
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -254,6 +255,9 @@ def _levels_for(max_ed: np.ndarray) -> int:
 
 
 def _use_pallas() -> bool:
+    if os.environ.get("BURST_TPU_PALLAS", "") == "0":
+        return False            # force the jnp paths (e.g. a CPU
+        #                         cross-check run on a TPU-backed host)
     try:
         plat = jax.devices()[0].platform.lower()
     except Exception:

@@ -127,6 +127,8 @@ def load_host():
         lib.accel_fill.argtypes = [
             _U8P, _I64P, _I64P, _I64P, _I64P,
             ctypes.c_long, ctypes.c_int, _I64P, _U32P]
+        lib.pad_rows.argtypes = [
+            _U8P, _I64P, ctypes.c_long, ctypes.c_long, _U8P]
         _HOST = lib
     except Exception:
         _HOST = None
@@ -437,9 +439,38 @@ def accel_build_native(cat, uoffs, cu_offs, mwords, moffs, tot_rc: int,
     cur = np.zeros(span, dtype=np.int64)
     ends = np.cumsum(cnt)
     cur[nzw] = ends - cnt
-    ids = np.empty(int(total), dtype=np.uint32)
+    # BURST_TPU_IDS_MMAP=<dir>: back the postings array with a disk
+    # file so databases whose index exceeds host RAM still build (the
+    # page cache absorbs the scattered pass-2 writes)
+    mdir = os.environ.get("BURST_TPU_IDS_MMAP")
+    if mdir and int(total) > 0:
+        import tempfile
+        fd, path = tempfile.mkstemp(suffix=".ids", dir=mdir)
+        os.close(fd)
+        ids = np.memmap(path, dtype=np.uint32, mode="w+",
+                        shape=(int(total),))
+        os.unlink(path)          # anonymous once mapped
+    else:
+        ids = np.empty(int(total), dtype=np.uint32)
     lib.accel_fill(
         _ptr(cat, _U8P), _ptr(uoffs, _I64P), _ptr(cu_offs, _I64P),
         _ptr(mwords, _I64P), _ptr(moffs, _I64P), tot_rc, k,
         _ptr(cur, _I64P), _ptr(ids, _U32P))
     return nzw, cnt, ids
+
+
+def pad_rows_native(cat: np.ndarray, offs: np.ndarray,
+                    out: np.ndarray) -> bool:
+    """memcpy ragged rows (cat + offsets) into the zero-padded row
+    matrix `out` ([n, wmax], C-contiguous uint8). False = no library
+    (caller falls back to a Python loop)."""
+    lib = load_host()
+    if lib is None:
+        return False
+    assert out.flags.c_contiguous and out.dtype == np.uint8
+    cat = np.ascontiguousarray(cat, dtype=np.uint8)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    lib.pad_rows(_ptr(cat, _U8P), _ptr(offs, _I64P),
+                 ctypes.c_long(out.shape[0]),
+                 ctypes.c_long(out.shape[1]), _ptr(out, _U8P))
+    return True

@@ -757,6 +757,16 @@ int64_t accel_count(
 // Pass 2: ids[cur[w]++] = clump. cur is the exclusive per-word start
 // offset array (int64[4^k], caller-initialized from the pass-1 counts
 // cumsum); it is advanced in place.
+// Zero-padded row matrix from concatenated ragged rows: one memcpy
+// per row into out[i*wmax : i*wmax+len_i] (caller zeroes out).
+void pad_rows(const uint8_t* cat, const int64_t* offs, long n,
+              long wmax, uint8_t* out)
+{
+    for (long i = 0; i < n; ++i)
+        std::memcpy(out + i * wmax, cat + offs[i],
+                    (size_t)(offs[i + 1] - offs[i]));
+}
+
 void accel_fill(
     const uint8_t* cat, const int64_t* uoffs, const int64_t* cu_offs,
     const int64_t* mwords, const int64_t* moffs,

@@ -27,6 +27,25 @@ from .alphabet import CHAR2NUM, RVT, translate, revcomp
 LATENCY = 16
 
 
+def _pad_matrix(seqs, lens: np.ndarray, wmax: int) -> np.ndarray:
+    """[n, wmax] zero-padded letter matrix from ragged unit views.
+
+    The native memcpy path matters at scale: a multi-GB database pads
+    tens of millions of rows, and the per-row Python slicing loop alone
+    costs minutes there."""
+    n = len(seqs)
+    out = np.zeros((n, wmax), dtype=np.uint8)
+    from .native import pad_rows_native
+    cat = np.concatenate(seqs) if n else np.zeros(0, np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if pad_rows_native(cat, offs, out):
+        return out
+    for i in range(n):
+        out[i, : lens[i]] = seqs[i]
+    return out
+
+
 def _cut_ws(h: bytes) -> bytes:
     """Truncate at the first space/tab; no allocation when absent
     (the overwhelmingly common case)."""
@@ -449,10 +468,6 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
     else:
         order = np.argsort(lens, kind="stable")
     lens_sorted = lens[order]
-    if start is not None:
-        keys = [parents[pix[i]][start[i]:].tobytes() for i in range(tot)]
-    else:
-        keys = [seqs[i].tobytes() for i in range(tot)]
     lat = 0 if do_fp else latency
     srt = list(order)
     cur_tol = int(lens_sorted[0])
@@ -467,22 +482,51 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
                 prev = i
         if prev < tot - 1:
             bounds.append((prev, tot, True))
-    shear_bytes = [seqs[i].tobytes() for i in range(tot)] \
-        if start is not None else keys
+
+    # parent-tail sort keys (the reference comparator is a raw strcmp
+    # on pointers into the parent, burst.c:1341-1344) are built LAZILY:
+    # only the small-pod qsort branch compares past the shear end, and
+    # materializing every tail is O(parent_len) bytes PER SHEAR --
+    # ~parent_len/2 x shears/parent, i.e. hundreds of GB on a multi-GB
+    # database
+    if start is not None:
+        def _tail(i):
+            return parents[pix[i]][start[i]:].tobytes()
+    else:
+        def _tail(i):
+            return seqs[i].tobytes()
+
+    # big pods sort on a zero-padded fixed-width byte matrix: letter
+    # codes are >= 1, so a full-width memcmp orders exactly like
+    # (content-bounded-by-min-length, length) -- the tuxCmp key. Ties
+    # (identical content AND length) must come out in REVERSE input
+    # order (glibc merge anti-stability, burst.c:391-406), so rows
+    # enter the stable argsort pre-ordered by DESCENDING unit index.
+    wmax = int(lens.max()) if tot else 0
+    use_mat = (not no_sort and tot > 1
+               and (start is not None or wmax <= 4096))
+    pad_s = None
+    if use_mat:
+        pad = _pad_matrix(seqs, lens, wmax)
+        pad_s = pad.view(f"S{wmax}").ravel()
     for a, b, last in bounds:
         if last or b - a > 256:
             # parallel_sort_tuxedo (burst.c:391-406): NIB5 prefix
             # buckets + per-bucket qsort with tuxCmp, which compares
             # shear content bounded by min length, tie-breaks by
-            # length, and NEVER returns 0 -- glibc's merge then takes
-            # the right element for "greater" ties, so equal entries
-            # come out in REVERSE input order (anti-stable)
-            srt[a:b] = sorted(
-                srt[a:b],
-                key=lambda ix: (shear_bytes[ix], int(lens[ix]), -ix))
+            # length, and NEVER returns 0 -- anti-stable for ties
+            if pad_s is not None:
+                sub = np.sort(np.asarray(srt[a:b], dtype=np.int64))[::-1]
+                perm = np.argsort(pad_s[sub], kind="stable")
+                srt[a:b] = list(sub[perm])
+            else:
+                sb = {ix: seqs[ix].tobytes() for ix in srt[a:b]}
+                srt[a:b] = sorted(
+                    srt[a:b],
+                    key=lambda ix: (sb[ix], int(lens[ix]), -ix))
         else:
             # qsort(cmpPackSeq) = strcmp on parent tails, stable
-            srt[a:b] = sorted(srt[a:b], key=lambda ix: (keys[ix], ix))
+            srt[a:b] = sorted(srt[a:b], key=lambda ix: (_tail(ix), ix))
     srt = np.array(srt, dtype=np.int64)
 
     dedup_ix = None
@@ -492,20 +536,33 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
     if curate:
         # duplicates = equal length AND equal shear content
         # (burst.c:2203-2207); sort keys include parent tails so
-        # compare the shear bytes themselves here
-        shear_keys = [seqs[i].tobytes() for i in range(tot)] \
-            if start is not None else keys
-        groups = [0]
-        for i in range(1, tot):
-            if shear_keys[srt[i]] != shear_keys[srt[i - 1]]:
-                groups.append(i)
-        uix = len(groups)
-        dedup_ix = np.array(groups + [tot], dtype=np.int64)
+        # compare the shear bytes themselves here. Padded rows are
+        # equal iff content and length both are (codes >= 1 vs pad 0).
+        if pad_s is not None:
+            neq = np.ones(tot, dtype=bool)
+            step = 4 << 20
+            for c0 in range(0, tot - 1, step):
+                c1 = min(c0 + step, tot - 1)
+                neq[c0 + 1: c1 + 1] = \
+                    pad_s[srt[c0:c1]] != pad_s[srt[c0 + 1:c1 + 1]]
+            groups_arr = np.nonzero(neq)[0]
+            uix = len(groups_arr)
+            dedup_ix = np.concatenate(
+                (groups_arr, [tot])).astype(np.int64)
+        else:
+            shear_keys = [seqs[i].tobytes() for i in range(tot)]
+            groups = [0]
+            for i in range(1, tot):
+                if shear_keys[srt[i]] != shear_keys[srt[i - 1]]:
+                    groups.append(i)
+            uix = len(groups)
+            dedup_ix = np.array(groups + [tot], dtype=np.int64)
         # lowest original index becomes the group representative via the
         # reference's min-displacement scan (burst.c:2216-2221): each
         # time a smaller member is found, the current front value takes
         # its place -- member order inside groups follows exactly
-        for g in range(uix):
+        gsz = np.diff(dedup_ix)
+        for g in np.nonzero(gsz > 1)[0]:
             a, b = int(dedup_ix[g]), int(dedup_ix[g + 1])
             bix = srt[a]
             for mi in range(a + 1, b):
@@ -516,6 +573,9 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
         tmp_rix = srt.copy()
         ix_srt = srt[dedup_ix[:-1]].copy()
         tot_units = uix
+    del pad_s
+    if use_mat:
+        del pad
 
     centroids = fp_p = fp_ptrs = None
     if do_fp and not xalpha:
@@ -541,15 +601,22 @@ def process_references(headers, raw_seqs, *, max_len_q: int = 0,
                       lens[ix_srt[:tot_units]])
         ext_lens = lens.copy()
         new_seqs = list(seqs)
-        for p in range(tot_units):
-            u = int(ix_srt[p])
-            ln = int(lens[u])
-            par = parents[pix[u]]
-            ext = min(ln + 1, int(clump_max[p // VECSZ_REF]),
-                      len(par) - int(start[u]))
-            if ext > ln:
-                new_seqs[u] = par[int(start[u]): int(start[u]) + ext]
-                ext_lens[u] = ext
+        u_arr = ix_srt[:tot_units]
+        plens = np.fromiter((len(p) for p in parents), np.int64,
+                            count=len(parents))
+        ln_arr = lens[u_arr]
+        ext_arr = np.minimum(
+            np.minimum(ln_arr + 1,
+                       clump_max[np.arange(tot_units) // VECSZ_REF]),
+            plens[pix[u_arr]] - start[u_arr])
+        grow = np.nonzero(ext_arr > ln_arr)[0]
+        us = u_arr[grow].tolist()
+        sts = start[u_arr[grow]].tolist()
+        exts = ext_arr[grow].tolist()
+        pxs = pix[u_arr[grow]].tolist()
+        for u, st, ext, px in zip(us, sts, exts, pxs):
+            new_seqs[u] = parents[px][st: st + ext]
+            ext_lens[u] = ext
         seqs = new_seqs
         lens = ext_lens
 

@@ -71,3 +71,34 @@ def test_native_matches_numpy_skip_ambig(monkeypatch):
     rd = _mkdb(6, 50, amb_every=5)
     a_nat, a_np = _build_both(rd, 12, monkeypatch, skip_ambig=True)
     _assert_equal(a_nat, a_np)
+
+
+@pytest.mark.skipif(load_host() is None, reason="no native library")
+@pytest.mark.parametrize("seed,n_refs,amb_every", [
+    (7, 60, 0), (8, 60, 6), (9, 4, 1),
+])
+def test_unit_index_native_matches_numpy(seed, n_refs, amb_every,
+                                         monkeypatch):
+    from burst_tpu.accel import build_unit_index
+    rd = _mkdb(seed, n_refs, amb_every)
+    acc_n = build_accelerator(rd, k=12, z=1)
+    build_unit_index(rd, acc_n)
+    monkeypatch.setattr(native_mod, "accel_build_native",
+                        lambda *a, **kw: None)
+    acc_p = build_accelerator(rd, k=12, z=1)
+    build_unit_index(rd, acc_p)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(acc_n.u_csr.nzw, acc_p.u_csr.nzw)
+    np.testing.assert_array_equal(acc_n.u_csr.cnt, acc_p.u_csr.cnt)
+    np.testing.assert_array_equal(acc_n.u_csr.ids, acc_p.u_csr.ids)
+
+
+@pytest.mark.skipif(load_host() is None, reason="no native library")
+def test_ids_mmap_build_identical(monkeypatch, tmp_path):
+    rd = _mkdb(10, 50, amb_every=8)
+    a_ram = build_accelerator(rd, k=12, z=1)
+    monkeypatch.setenv("BURST_TPU_IDS_MMAP", str(tmp_path))
+    a_mm = build_accelerator(rd, k=12, z=1)
+    monkeypatch.delenv("BURST_TPU_IDS_MMAP")
+    assert isinstance(a_mm.csr.ids, np.memmap)
+    _assert_equal(a_ram, a_mm)
