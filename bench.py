@@ -193,11 +193,27 @@ def main():
                   f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
         except Exception:
             rd = acc = stats = None
+    def _save(rd, acc, stats):
+        """Stage-cache: written right after the build AND again after
+        pair stats, so a device stall killing the run mid-stats still
+        preserves the finished stages for the retry."""
+        for obj, attr in ((acc, "_dev_tables"), (rd, "_tiledev"),
+                          (rd, "_tilealldev"), (rd, "_smatdev")):
+            if hasattr(obj, attr):     # device arrays don't pickle
+                delattr(obj, attr)
+        try:
+            with open(cache + ".tmp", "wb") as f:
+                pickle.dump((rd, acc, stats), f, protocol=5)
+            os.replace(cache + ".tmp", cache)
+        except Exception:
+            pass
+
     if rd is None:
         rd = process_references(rheads, [r.copy() for r in refs],
                                 max_len_q=READ_LEN, thres=THRES,
                                 rebase=True, rebase_amt=320, curate=2)
         acc = build_accelerator(rd, k=K, z=1)
+        _save(rd, acc, None)
     print(f"[bench] db+acx build {time.perf_counter()-t0:.0f}s "
           f"({rd.tot_units} units, {len(acc.csr.ids)} postings, "
           f"budget {deadline-time.time():.0f}s left)", file=sys.stderr)
@@ -212,16 +228,7 @@ def main():
     if stats is None:
         # builds acc.u_csr as a side effect -- the expensive part
         stats = _pair_stats(qd, rd, acc, score_matrix())
-        for obj, attr in ((acc, "_dev_tables"), (rd, "_tiledev"),
-                          (rd, "_tilealldev"), (rd, "_smatdev")):
-            if hasattr(obj, attr):     # device arrays don't pickle
-                delattr(obj, attr)
-        try:
-            with open(cache + ".tmp", "wb") as f:
-                pickle.dump((rd, acc, stats), f, protocol=5)
-            os.replace(cache + ".tmp", cache)
-        except Exception:
-            pass
+        _save(rd, acc, stats)
     n_pairs, cells = stats
     print(f"[bench] pair stats {time.perf_counter()-t0:.0f}s "
           f"({n_pairs/N_READS:.1f} pairs/read, budget "

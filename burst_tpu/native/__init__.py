@@ -441,7 +441,10 @@ def accel_build_native(cat, uoffs, cu_offs, mwords, moffs, tot_rc: int,
     cur[nzw] = ends - cnt
     # BURST_TPU_IDS_MMAP=<dir>: back the postings array with a disk
     # file so databases whose index exceeds host RAM still build (the
-    # page cache absorbs the scattered pass-2 writes)
+    # page cache absorbs the scattered pass-2 writes). With
+    # BURST_TPU_IDS_MMAP_KEEP=1 the file stays named (ids.filename) so
+    # a staged build can re-open it in a later process; otherwise it is
+    # unlinked (anonymous once mapped).
     mdir = os.environ.get("BURST_TPU_IDS_MMAP")
     if mdir and int(total) > 0:
         import tempfile
@@ -449,7 +452,8 @@ def accel_build_native(cat, uoffs, cu_offs, mwords, moffs, tot_rc: int,
         os.close(fd)
         ids = np.memmap(path, dtype=np.uint32, mode="w+",
                         shape=(int(total),))
-        os.unlink(path)          # anonymous once mapped
+        if os.environ.get("BURST_TPU_IDS_MMAP_KEEP") != "1":
+            os.unlink(path)
     else:
         ids = np.empty(int(total), dtype=np.uint32)
     lib.accel_fill(

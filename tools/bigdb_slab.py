@@ -4,10 +4,10 @@
 Builds a homologous-family DNA database whose dominant length bucket
 exceeds the default 8 GB HBM tile budget (BIGDB_GBP=10 Gbp of 250 kbp
 parents sheared at 320 => ~31 M units of width 454 B = ~14 GB tiles;
-index artifacts ~2x51 GB on top), aligns a timed batch of 100 bp reads
-through the slab-streaming accel path on the real chip
-(engine._pairs_slab_stream: double-buffered slab rotation, winner-only
-rescore gather), and byte-checks a subset three ways:
+postings on top), aligns a timed batch of 100 bp reads through the
+slab-streaming accel path on the real chip (engine._pairs_slab_stream:
+double-buffered slab rotation, winner-only rescore gather), and
+byte-checks a subset three ways:
 
   a) the timed TPU run (default 8 GB budget),
   b) a TPU rerun with a 1 GB budget (different slab schedule,
@@ -16,17 +16,23 @@ rescore gather), and byte-checks a subset three ways:
      kernel-independent oracle the CPU test suite validates.
 
 Mirrors the reference's headline: a 31.5 GB DB on hardware with less
-memory than the DB (/root/reference/README.md:16); its .acx postings
-at this scale exceed host RAM, so the index builds into disk-backed
-memmaps (BURST_TPU_IDS_MMAP).
+memory than the DB (/root/reference/README.md:16); its postings at
+this scale exceed comfortable RAM, so the index builds into NAMED
+disk-backed memmaps (BURST_TPU_IDS_MMAP + _KEEP) and every finished
+stage is checkpointed to disk: the hours-scale CPU build survives a
+device-tunnel stall or a kill, and a rerun resumes at the next stage.
+Stages: built (db+acx) -> indexed (+unit index) -> device run.
 
 Writes one JSON line to stdout at the end (plus stage timers on
-stderr). Env: BIGDB_GBP, BIGDB_READS, BIGDB_SUBSET, BIGDB_MMAP_DIR.
+stderr). Env: BIGDB_GBP, BIGDB_READS, BIGDB_SUBSET, BIGDB_MMAP_DIR,
+BIGDB_STAGE (stage-file dir), BIGDB_BUILD_ONLY=1 (exit after the CPU
+stages -- run the device phase later when the chip is healthy).
 
 This is an explicit, hours-scale tool -- not part of the test tiers.
 """
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -39,11 +45,13 @@ GBP = float(os.environ.get("BIGDB_GBP", "10"))
 N_READS = int(os.environ.get("BIGDB_READS", "20000"))
 N_SUBSET = int(os.environ.get("BIGDB_SUBSET", "100"))
 MMAP_DIR = os.environ.get("BIGDB_MMAP_DIR", "/tmp/bigdb_ids")
+STAGE_DIR = os.environ.get("BIGDB_STAGE", "/tmp/bigdb_stage")
 PAR_LEN = 250_000
 N_MEM = 10
 DIVERGENCE = 0.01
 READ_LEN = 100
 THRES = 0.98
+K = 12
 
 
 def _t(msg, t0):
@@ -91,31 +99,103 @@ def gen_reads(rng, refs, n):
     return heads, reads
 
 
+# --- stage checkpointing ------------------------------------------
+# Postings arrays live in named disk memmaps (BURST_TPU_IDS_MMAP_KEEP);
+# the pickle stores (path, len) markers instead of the tens-of-GB data,
+# so a checkpoint costs only the RAM-resident part of rd/acc.
+
+def _stage_path():
+    return os.path.join(STAGE_DIR, f"bigdb_{GBP}_{K}.pkl")
+
+
+def _save_stage(tag, rd, acc, qheads, reads):
+    t0 = time.perf_counter()
+    for obj, attr in ((acc, "_dev_tables"), (rd, "_tiledev"),
+                      (rd, "_tilealldev"), (rd, "_smatdev")):
+        if hasattr(obj, attr):          # device arrays don't pickle
+            delattr(obj, attr)
+    swapped = []
+    for csr in (acc.csr, acc.u_csr):
+        if csr is not None:
+            csr._rank = None        # lazy dense table; rebuilt on use
+        if csr is not None and isinstance(csr.ids, np.memmap):
+            assert csr.ids.filename, "postings mmap is anonymous"
+            swapped.append((csr, csr.ids))
+            csr.ids = ("__mmap__", csr.ids.filename, len(csr.ids))
+    try:
+        path = _stage_path()
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump((tag, rd, acc, qheads, reads), f, protocol=5)
+        os.replace(path + ".tmp", path)
+    finally:
+        for csr, ids in swapped:
+            csr.ids = ids
+    _t(f"stage '{tag}' checkpointed", t0)
+
+
+def _load_stage():
+    path = _stage_path()
+    if not os.path.exists(path):
+        return None
+    t0 = time.perf_counter()
+    with open(path, "rb") as f:
+        tag, rd, acc, qheads, reads = pickle.load(f)
+    for csr in (acc.csr, acc.u_csr):
+        if (csr is not None and isinstance(csr.ids, tuple)
+                and csr.ids[0] == "__mmap__"):
+            csr.ids = np.memmap(csr.ids[1], dtype=np.uint32,
+                                mode="r+", shape=(csr.ids[2],))
+    _t(f"stage '{tag}' loaded", t0)
+    return tag, rd, acc, qheads, reads
+
+
 def main():
     os.makedirs(MMAP_DIR, exist_ok=True)
+    os.makedirs(STAGE_DIR, exist_ok=True)
     os.environ["BURST_TPU_IDS_MMAP"] = MMAP_DIR
+    os.environ["BURST_TPU_IDS_MMAP_KEEP"] = "1"
 
-    from burst_tpu.accel import build_accelerator
+    from burst_tpu.accel import build_accelerator, build_unit_index
     from burst_tpu.process import process_references
     from burst_tpu.serving import Aligner
 
-    rng = np.random.default_rng(20260819)
-    t0 = time.perf_counter()
-    rheads, refs = gen_db(rng)
-    db_bp = sum(len(r) for r in refs)
-    _t(f"generated {db_bp/1e9:.2f} Gbp ({len(refs)} refs)", t0)
+    st = _load_stage()
+    if st is None:
+        rng = np.random.default_rng(20260819)
+        t0 = time.perf_counter()
+        rheads, refs = gen_db(rng)
+        db_bp = sum(len(r) for r in refs)
+        _t(f"generated {db_bp/1e9:.2f} Gbp ({len(refs)} refs)", t0)
+        qheads, reads = gen_reads(rng, refs, N_READS)
 
-    t0 = time.perf_counter()
-    rd = process_references(rheads, refs, max_len_q=READ_LEN,
-                            thres=THRES, rebase=True, rebase_amt=320,
-                            curate=2)
-    _t(f"process_references ({rd.tot_units} units)", t0)
+        t0 = time.perf_counter()
+        rd = process_references(rheads, refs, max_len_q=READ_LEN,
+                                thres=THRES, rebase=True,
+                                rebase_amt=320, curate=2)
+        del refs
+        _t(f"process_references ({rd.tot_units} units)", t0)
 
-    t0 = time.perf_counter()
-    acc = build_accelerator(rd, k=12, z=1)
-    _t(f"accelerator ({len(acc.csr.ids)} postings, "
-       f"{acc.csr.ids.nbytes/1e9:.1f} GB {'memmap' if isinstance(acc.csr.ids, np.memmap) else 'RAM'})",
-       t0)
+        t0 = time.perf_counter()
+        acc = build_accelerator(rd, k=K, z=1)
+        _t(f"accelerator ({len(acc.csr.ids)} postings, "
+           f"{acc.csr.ids.nbytes/1e9:.1f} GB "
+           f"{'memmap' if isinstance(acc.csr.ids, np.memmap) else 'RAM'})",
+           t0)
+        _save_stage("built", rd, acc, qheads, reads)
+        st = ("built", rd, acc, qheads, reads)
+
+    tag, rd, acc, qheads, reads = st
+    if tag == "built":
+        t0 = time.perf_counter()
+        build_unit_index(rd, acc)
+        _t(f"unit index ({len(acc.u_csr.ids)} postings, "
+           f"{acc.u_csr.ids.nbytes/1e9:.1f} GB)", t0)
+        _save_stage("indexed", rd, acc, qheads, reads)
+
+    if os.environ.get("BIGDB_BUILD_ONLY") == "1":
+        print("[bigdb] BUILD_ONLY: CPU stages done; rerun without it "
+              "for the device phase", file=sys.stderr)
+        return 0
 
     # dominant bucket / budget accounting for the claim
     from burst_tpu import engine
@@ -133,7 +213,6 @@ def main():
           f"slab={slab}", file=sys.stderr, flush=True)
     assert slab is not None, "bucket fits the budget; nothing to demo"
 
-    qheads, reads = gen_reads(rng, refs, N_READS)
     al = Aligner(rd, acc, thres=THRES, mode="BEST", do_rc=True)
 
     t0 = time.perf_counter()
@@ -170,11 +249,11 @@ def main():
 
     rec = {
         "metric": f"reads/s through slab-streamed accel path, "
-                  f"{db_bp/1e9:.1f} Gbp DB, dominant bucket "
+                  f"{GBP:.0f} Gbp DB, dominant bucket "
                   f"{tile_gb:.1f} GB vs {budget_gb:.1f} GB budget",
         "value": round(N_READS / dt, 1),
         "unit": "reads/s",
-        "db_gbp": round(db_bp / 1e9, 2),
+        "db_gbp": GBP,
         "tile_gb": round(tile_gb, 1),
         "acx_gb": round(acc.csr.ids.nbytes / 1e9, 1),
         "subset_checks": "slab-1GB + cpu-jnp byte-identical",
