@@ -129,12 +129,17 @@ def _wait_for_device(deadline: float, max_wait: float = 300.0):
 def _pair_stats(qd, rd, acc, smat):
     """Evaluated-pair density + DP cell volume of one batch: the
     candidate load the scour admits (pairs/read) and the cells the
-    phase-A kernel sweeps (for the GCUPS/MFU lines)."""
+    phase-A kernel sweeps (for the GCUPS/MFU lines). Runs the HOST
+    scour (dev_scour=False; bytes identical to the device path per
+    tests/test_scour_device.py) so this one-time cacheable stage can't
+    wedge on a device-tunnel drop -- that is what ate the round-2/3
+    bench budgets."""
     from burst_tpu import engine
     from burst_tpu.process import bin_queries_for_accel
 
     qbins = bin_queries_for_accel(qd, acc.k, acc.z)
-    visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1)
+    visits = engine.accel_candidates(qd, rd, acc, qbins, qbunch=1,
+                                     dev_scour=False)
     pj, pp = engine.expand_visit_pairs(qd, rd, visits)
     qlens = np.array([len(s) for s in qd.seqs], dtype=np.int64)
     ulens = engine._unit_lb(rd)[pp].astype(np.int64)
@@ -281,22 +286,39 @@ def main():
     return 0
 
 
+def _cpu_s(pid: int):
+    """Child's cumulative CPU seconds from /proc (None if gone)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(") ", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) \
+            / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return None
+
+
 def _supervise():
     """Run the bench in a child process under a wall-clock budget.
 
     The dev rig's tunneled TPU drops for minutes at a time; a drop
     mid-run kills the backend for the whole process (jax caches the
-    broken client), so recovery needs a FRESH interpreter. The child
+    broken client and a blocked device fetch never returns), so
+    recovery needs a FRESH interpreter. Two triggers kill the child:
+    the BENCH_DEADLINE_S wall budget (default 1500s), and a WEDGE
+    WATCHDOG -- if the child's CPU time stops advancing for
+    BENCH_WEDGE_S (default 300s) it is blocked on a dead tunnel
+    socket, not computing (every long stage is host CPU or frequent
+    small device fetches). Wedge kills always retry while >8 minutes
+    remain: the stage caches make a retry cheap. Plain failures retry
+    only while attempts (BENCH_ATTEMPTS, default 1) remain. The child
     inherits stdout so the JSON metric lines land where the driver
-    reads them. The whole run honors BENCH_DEADLINE_S (default 1500s):
-    the child is killed at the deadline, and a failed attempt is
-    retried only while >8 minutes remain (default: ONE attempt unless
-    BENCH_ATTEMPTS raises it).
+    reads them.
     """
     import subprocess
 
     deadline = _deadline()
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "1"))
+    wedge_s = float(os.environ.get("BENCH_WEDGE_S", "300"))
     env = dict(os.environ, BENCH_CHILD="1",
                BENCH_DEADLINE_AT=repr(deadline))
     rc, i = 1, 0
@@ -304,15 +326,32 @@ def _supervise():
         i += 1
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env)
-        try:
-            rc = child.wait(timeout=max(30, deadline - time.time()))
-        except subprocess.TimeoutExpired:
-            child.kill()
-            child.wait()
-            rc = -1
+        last_cpu, last_adv, wedged = -1.0, time.time(), False
+        while True:
+            try:
+                rc = child.wait(timeout=15)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            now = time.time()
+            cpu = _cpu_s(child.pid)
+            if cpu is not None and cpu > last_cpu + 0.5:
+                last_cpu, last_adv = cpu, now
+            if now > deadline or now - last_adv > wedge_s:
+                wedged = now - last_adv > wedge_s and now <= deadline
+                if wedged:
+                    print(f"[bench] child wedged (no CPU progress "
+                          f"{now - last_adv:.0f}s); killing",
+                          file=sys.stderr)
+                child.kill()
+                child.wait()
+                rc = -1
+                break
         if rc == 0:
             return 0
-        if i >= attempts or deadline - time.time() < 480:
+        if deadline - time.time() < 480:
+            return rc
+        if not wedged and i >= attempts:
             return rc
         print(f"[bench] attempt {i} failed (rc={rc}); retrying in a "
               "fresh process", file=sys.stderr)

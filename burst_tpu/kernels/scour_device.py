@@ -89,27 +89,34 @@ def _scour_core(qmat, lens, rank, nzw, start, cnt, ids, mm_member,
     ov = total > E
 
     e = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None, :], (n, E))
-    # slot -> window mapping in ONE unrolled sweep over the T windows:
-    # te[j,e] = #{t : cum[j,t] <= e} (the owning window), prev = the
-    # owning window's preceding cumsum, ws/wv = its postings start and
-    # word value. A batched searchsorted plus take_along_axis gathers
-    # lowers to serialized dynamic gathers on TPU (~70ms per chunk);
-    # T fused compare/select passes over [n, E] vregs are an order of
-    # magnitude cheaper.
-    te = jnp.zeros((n, E), jnp.int32)
-    prev = jnp.zeros((n, E), jnp.int32)
-    ws = jnp.zeros((n, E), jnp.int32)
-    wv = jnp.zeros((n, E), jnp.int32)
-    c0 = jnp.zeros((n, 1), jnp.int32)
-    for t in range(T):
-        ct = cum[:, t][:, None]
+    # slot -> window mapping: te[j,e] = #{t : cum[j,t] <= e} (the
+    # owning window), prev = the owning window's preceding cumsum,
+    # ws/wv = its postings start and word value. A fori_loop over the
+    # T windows, NOT an unrolled Python loop: the unrolled form emits
+    # ~10 ops per window on [n, E] operands and XLA:TPU's compile time
+    # on that program is superlinear in T*E -- at the bench's E=3072 it
+    # ran for tens of minutes server-side, which is what actually ate
+    # the round-2/3 bench budgets. The loop-carried form compiles in
+    # seconds and the extra HBM round trips cost ~tens of ms per chunk.
+    # (A batched searchsorted would also work but lowers to serialized
+    # dynamic gathers, ~70ms per chunk.)
+
+    def _owner(t, carry):
+        te, prev, ws, wv, c0 = carry
+        ct = jax.lax.dynamic_slice_in_dim(cum, t, 1, 1)       # [n, 1]
         inside = ct <= e
-        te += inside
+        te = te + inside.astype(jnp.int32)
         prev = jnp.where(inside, ct, prev)
         hit = (c0 <= e) & (e < ct)      # slot owned by window t
-        ws = jnp.where(hit, s[:, t][:, None], ws)
-        wv = jnp.where(hit, w[:, t][:, None], wv)
-        c0 = ct
+        ws = jnp.where(hit, jax.lax.dynamic_slice_in_dim(s, t, 1, 1),
+                       ws)
+        wv = jnp.where(hit, jax.lax.dynamic_slice_in_dim(w, t, 1, 1),
+                       wv)
+        return te, prev, ws, wv, ct
+
+    z = jnp.zeros((n, E), jnp.int32)
+    te, prev, ws, wv, _ = jax.lax.fori_loop(
+        0, T, _owner, (z, z, z, z, jnp.zeros((n, 1), jnp.int32)))
     live = e < jnp.minimum(total, E)[:, None]
     pos = jnp.where(live, ws + (e - prev), 0)
     u = ids[pos].astype(jnp.int32)

@@ -21,8 +21,7 @@ Usage:
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/scaling_probe.py --mesh 2x4  # virtual 8-dev mesh
 
-Prints one JSON line per section; tools/update_scaling_md.py folds
-them into SCALING.md.
+Prints one JSON line per section; results are recorded in SCALING.md.
 """
 import json
 import os
