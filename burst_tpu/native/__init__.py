@@ -129,6 +129,14 @@ def load_host():
             ctypes.c_long, ctypes.c_int, _I64P, _U32P]
         lib.pad_rows.argtypes = [
             _U8P, _I64P, ctypes.c_long, ctypes.c_long, _U8P]
+        lib.myers_pairs.argtypes = [
+            _U32P, _U8P, _I32P, _I32P,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            _I32P]
+        lib.rescore_pairs.argtypes = [
+            _U32P, _U8P, _I32P, _I32P, _I32P, _I32P, _I32P,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, _I32P]
         _HOST = lib
     except Exception:
         _HOST = None
@@ -387,6 +395,61 @@ def b6_format_native(qblob, qoff, qrow, rblob, roff, rrow, score,
         if got >= 0:
             return buf.raw[:got]
         cap = -got + 4096
+
+
+def myers_pairs_native(peq_all, tiles_all, pidx, tidx, W: int
+                       ) -> np.ndarray | None:
+    """Native phase-A Myers pair scan: packed [3, B] int32 (ed, first,
+    last), bit-identical to kernels.myers.myers_min_ed_gather_pos.
+    None if no lib or W > 32."""
+    lib = load_host()
+    if lib is None or W > 32:
+        return None
+    peq = np.ascontiguousarray(peq_all, dtype=np.uint32)
+    tiles = np.ascontiguousarray(tiles_all, dtype=np.uint8)
+    pidx = np.ascontiguousarray(pidx, dtype=np.int32)
+    tidx = np.ascontiguousarray(tidx, dtype=np.int32)
+    B = len(pidx)
+    out = np.empty((3, max(B, 1)), dtype=np.int32)
+    lib.myers_pairs(_ptr(peq, _U32P), _ptr(tiles, _U8P),
+                    _ptr(pidx, _I32P), _ptr(tidx, _I32P),
+                    B, peq.shape[1], W, tiles.shape[1],
+                    _ptr(out, _I32P))
+    return out[:, :B]
+
+
+def rescore_pairs_native(peq_all, tiles_all, pidx, tidx, qlens, max_ed,
+                         W: int, rows: int | None = None, x0=None,
+                         Lw: int | None = None) -> np.ndarray | None:
+    """Native phase-B rescore: packed [4, B] int32 (ed, gapQ, gapR,
+    final_pos), bit-identical to kernels.rescore.make_rescore (window
+    mode included). None if no lib."""
+    lib = load_host()
+    if lib is None:
+        return None
+    peq = np.ascontiguousarray(peq_all, dtype=np.uint32)
+    tiles = np.ascontiguousarray(tiles_all, dtype=np.uint8)
+    pidx = np.ascontiguousarray(pidx, dtype=np.int32)
+    tidx = np.ascontiguousarray(tidx, dtype=np.int32)
+    qlens = np.ascontiguousarray(qlens, dtype=np.int32)
+    max_ed = np.ascontiguousarray(max_ed, dtype=np.int32)
+    B = len(pidx)
+    if rows is None:
+        rows = W * 32
+    if x0 is not None:
+        x0c = np.ascontiguousarray(x0, dtype=np.int32)
+        x0p = _ptr(x0c, _I32P)
+        lw = int(Lw)
+    else:
+        x0p = None
+        lw = 0
+    out = np.empty((4, max(B, 1)), dtype=np.int32)
+    lib.rescore_pairs(_ptr(peq, _U32P), _ptr(tiles, _U8P),
+                      _ptr(pidx, _I32P), _ptr(tidx, _I32P),
+                      _ptr(qlens, _I32P), _ptr(max_ed, _I32P), x0p,
+                      B, peq.shape[1], W, tiles.shape[1], lw, rows,
+                      _ptr(out, _I32P))
+    return out[:, :B]
 
 
 def score_identity(ed: np.ndarray, divisor: np.ndarray) -> np.ndarray:

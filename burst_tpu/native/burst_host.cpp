@@ -785,3 +785,177 @@ void accel_fill(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------- host DP kernels
+// CPU twins of the device kernels, used when the TPU tunnel stalls
+// mid-run (see burst_tpu/devtime.py) and for BURST_TPU_HOST=1 pure-CPU
+// execution. Bit-identical to kernels/myers.py and kernels/rescore.py
+// (fuzzed in tests/test_host_kernels.py).
+
+extern "C" {
+
+// Phase A: bit-parallel Myers/Hyyro glocal scan over (query, tile)
+// pairs -- myers.myers_min_ed_gather_pos semantics. peq_all is
+// [NQ, C, W] uint32 (C codes: 16 nucleotide / 256 Xalpha), tiles_all
+// [NT, Lp] uint8; out is packed [3, B] int32 (min ED, first best
+// column, last best column; columns 1-based in padded coordinates).
+// W <= 32 (queries <= 1024 rows; the engine's buckets guarantee it).
+void myers_pairs(const uint32_t* peq_all, const uint8_t* tiles_all,
+                 const int32_t* pidx, const int32_t* tidx,
+                 long B, long C, long W, long Lp, int32_t* out)
+{
+    if (W > 32) { for (long b = 0; b < 3 * B; ++b) out[b] = -1; return; }
+#pragma omp parallel for schedule(dynamic, 64)
+    for (long b = 0; b < B; ++b) {
+        const uint32_t* peq = peq_all + (int64_t)pidx[b] * C * W;
+        const uint8_t* tile = tiles_all + (int64_t)tidx[b] * Lp;
+        uint32_t VP[32], VN[32], Ph[32], Mh[32], Xv[32];
+        for (long w = 0; w < W; ++w) { VP[w] = 0xFFFFFFFFu; VN[w] = 0; }
+        int32_t score = (int32_t)(W * 32), best = score;
+        int32_t first = 0, last = 0;
+        for (long j = 0; j < Lp; ++j) {
+            const uint32_t* eq = peq + (long)tile[j] * W;
+            uint32_t carry = 0;
+            for (long w = 0; w < W; ++w) {
+                uint32_t Eq = eq[w];
+                Xv[w] = Eq | VN[w];
+                uint32_t a = Eq & VP[w];
+                uint32_t s1 = a + VP[w];
+                uint32_t c1 = s1 < a;
+                uint32_t s2 = s1 + carry;
+                uint32_t c2 = s2 < s1;
+                uint32_t Xh = (s2 ^ VP[w]) | Eq;
+                Ph[w] = VN[w] | ~(Xh | VP[w]);
+                Mh[w] = VP[w] & Xh;
+                carry = c1 | c2;
+            }
+            score += (int32_t)(Ph[W - 1] >> 31)
+                   - (int32_t)(Mh[W - 1] >> 31);
+            if (score < best) first = (int32_t)(j + 1);
+            if (score <= best) { best = score; last = (int32_t)(j + 1); }
+            uint32_t pc = 0, mc = 0;
+            for (long w = 0; w < W; ++w) {
+                uint32_t phs = (Ph[w] << 1) | pc;
+                uint32_t mhs = (Mh[w] << 1) | mc;
+                pc = Ph[w] >> 31; mc = Mh[w] >> 31;
+                VP[w] = mhs | ~(Xv[w] | phs);
+                VN[w] = phs & Xv[w];
+            }
+        }
+        out[b] = best;
+        out[B + b] = first;
+        out[2 * B + b] = last;
+    }
+}
+
+// Phase B: tie-aware rescore DP over winner pairs -- the sequential
+// form of kernels/rescore.py make_rescore (burst.c:713-886 dual-
+// objective semantics). The device kernel's Hillis-Steele left-gap
+// chain becomes a plain left-to-right running merge here: at each
+// column the chain candidate (prev + (1,1,0)) competes with the
+// diag/up base under (score asc, gapQ desc, origin-x desc) -- on full
+// ties the base (larger origin) wins, matching the packed-key payload
+// order. No width/row limits (the device fast path's 13-bit packing
+// envelope does not apply).
+// out: packed [4, B] int32 (ED<=255, gapQ, gapR, final_pos). With x0
+// non-null the DP runs on the [Lw-1]-column window starting at x0[b]
+// (clamped gather, as kernels/rescore._window_tiles); final_pos is
+// window-local.
+void rescore_pairs(const uint32_t* peq_all, const uint8_t* tiles_all,
+                   const int32_t* pidx, const int32_t* tidx,
+                   const int32_t* qlens, const int32_t* max_ed,
+                   const int32_t* x0, long B, long C, long W,
+                   long Lp_all, long Lw, long rows, int32_t* out)
+{
+    const int32_t DEADv = 511;
+    const long L = x0 ? (Lw - 1) : Lp_all;
+    const long L1 = L + 1;
+#pragma omp parallel
+    {
+        std::vector<int32_t> sc(L1), sh(L1), shr(L1);
+        std::vector<int32_t> nsc(L1), nsh(L1), nshr(L1);
+        std::vector<uint8_t> tl(x0 ? L : 0);
+#pragma omp for schedule(dynamic, 16)
+        for (long b = 0; b < B; ++b) {
+            const uint32_t* peq = peq_all + (int64_t)pidx[b] * C * W;
+            const uint8_t* tile =
+                tiles_all + (int64_t)tidx[b] * Lp_all;
+            if (x0) {
+                long base = x0[b];
+                for (long x = 0; x < L; ++x) {
+                    long ix = base + x;
+                    if (ix > Lp_all - 1) ix = Lp_all - 1;
+                    tl[x] = tile[ix];
+                }
+                tile = tl.data();
+            }
+            const int32_t bad = max_ed[b] + 1;
+            // row 1, special-cased exactly like the reference: shiftQ
+            // starts where a cost-1 cell follows a cost-0 left cell
+            sc[0] = (1 >= bad) ? DEADv : 1;
+            sh[0] = 0; shr[0] = 1;
+            int32_t left_raw = 1;
+            for (long x = 1; x <= L; ++x) {
+                int c = tile[x - 1];
+                int match = peq[(long)c * W] & 1u;
+                int32_t d = match ? 0 : (c == 0 ? DEADv : 1);
+                sh[x] = (d == 1 && left_raw == 0) ? 1 : 0;
+                shr[x] = 0;
+                left_raw = d;
+                sc[x] = (d >= bad) ? DEADv : d;
+            }
+            for (int32_t y = 2; y <= (int32_t)rows; ++y) {
+                const long yy = y - 1;
+                const long w = yy >> 5;
+                const uint32_t bit = 1u << (yy & 31);
+                // chain state = running best origin (unclamped score)
+                int32_t cs = y, cg = 0, cr = y;
+                nsc[0] = y; nsh[0] = 0; nshr[0] = y;
+                for (long x = 1; x <= L; ++x) {
+                    int c = tile[x - 1];
+                    int match = (peq[(long)c * W + w] & bit) != 0;
+                    int32_t d = match ? 0 : (c == 0 ? DEADv : 1);
+                    int32_t sO = sc[x - 1] + d;
+                    if (sO > DEADv + 1) sO = DEADv + 1;
+                    int32_t sU = sc[x] + 1;
+                    if (sU > DEADv + 1) sU = DEADv + 1;
+                    bool takeU = (sU < sO) ||
+                                 (sU == sO && sh[x] > sh[x - 1]);
+                    int32_t bs = takeU ? sU : sO;
+                    int32_t bg = takeU ? sh[x] : sh[x - 1];
+                    int32_t br = takeU ? shr[x] + 1 : shr[x - 1];
+                    int32_t cand_s = cs + 1, cand_g = cg + 1;
+                    if (cand_s < bs ||
+                        (cand_s == bs && cand_g > bg)) {
+                        cs = cand_s; cg = cand_g;   // cr carries over
+                    } else {
+                        cs = bs; cg = bg; cr = br;
+                    }
+                    nsc[x] = (cs >= bad) ? DEADv : cs;
+                    nsh[x] = cg;
+                    nshr[x] = cr;
+                }
+                sc.swap(nsc); sh.swap(nsh); shr.swap(nshr);
+            }
+            // final lane reduction over columns 1..L
+            int32_t best_s = DEADv + 1;
+            for (long x = 1; x <= L; ++x)
+                if (sc[x] < best_s) best_s = sc[x];
+            int32_t best_g = -1;
+            for (long x = 1; x <= L; ++x)
+                if (sc[x] == best_s && sh[x] > best_g) best_g = sh[x];
+            int32_t first_col = 0, last_col = 0;
+            for (long x = 1; x <= L; ++x)
+                if (sc[x] == best_s && sh[x] == best_g) {
+                    if (!first_col) first_col = (int32_t)x;
+                    last_col = (int32_t)x;
+                }
+            out[b] = best_s < 255 ? best_s : 255;
+            out[B + b] = best_g;
+            out[2 * B + b] = shr[first_col];
+            out[3 * B + b] = last_col - ((int32_t)rows - qlens[b]);
+        }
+    }
+}
+
+}  // extern "C"
