@@ -14,10 +14,20 @@ excluded, exactly as in the reference's reported reads/s; query parsing
 through b6 emission is included.
 
 Prints JSON metric lines {"metric", "value", "unit", "vs_baseline",
-"device_s", "mfu", ...}: a PROVISIONAL line right after the first
-measured pass (so a watchdog kill still leaves a parsed result), then
-the refined final line -- consumers take the LAST line. baseline = the
-reference's >10,000 reads/s/chip figure (BASELINE.md).
+"device_s", "mfu", ...}: a PROVISIONAL line from a small all-host
+subset pass BEFORE any device is touched (pure CPU -- cannot wedge, so
+a parsed metric exists no matter what the device tunnel does), another
+PROVISIONAL right after the first measured full pass, then the refined
+final line -- consumers take the LAST line. baseline = the reference's
+>10,000 reads/s/chip figure (BASELINE.md).
+
+Stall story (this ate the round-2/3 budgets): every engine fetch now
+carries a host-recompute fallback (burst_tpu/devtime.py watchdog + the
+kernels/host.py CPU twins), so an in-run tunnel drop downgrades the
+pass to the host path instead of wedging; the metric line's "path"
+field says which backend finished the measured pass. The supervisor
+watchdog remains as backstop, and its retries escalate: attempt 2
+forces the host scour, attempt 3 forces the all-host path.
 
 device_s is blocked-on-device time of one tracked pass (see
 burst_tpu/devtime.py: sum of the batched dispatch-chain fetches; upper
@@ -148,7 +158,7 @@ def _pair_stats(qd, rd, acc, smat):
 
 
 def _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu,
-          provisional=False):
+          provisional=False, path="device"):
     rec = {
         "metric": f"100bp reads aligned/sec/chip at 98% id, "
                   f"both strands (accel k={K}, {db_bp/1e6:.0f} Mbp "
@@ -159,6 +169,7 @@ def _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu,
         "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
         "device_s": round(device_s, 3),
         "mfu": round(mfu, 4),
+        "path": path,
     }
     if provisional:
         rec["provisional"] = True
@@ -173,7 +184,6 @@ def main():
     from burst_tpu.serving import Aligner
 
     deadline = _deadline()
-    _wait_for_device(deadline)
     t0 = time.perf_counter()
     rheads, refs, qheads, reads = make_workload()
     db_bp = sum(len(r) for r in refs)
@@ -239,34 +249,70 @@ def main():
           f"({n_pairs/N_READS:.1f} pairs/read, budget "
           f"{deadline-time.time():.0f}s left)", file=sys.stderr)
 
+    # ---- stage 1: all-host subset pass -> guaranteed PROVISIONAL ----
+    # Pure CPU (BURST_TPU_HOST=1 routes every dispatch site to the
+    # native host kernels; no device client is ever initialized), so
+    # this stage cannot wedge regardless of tunnel state.
+    n_sub = min(int(os.environ.get("BENCH_SUBSET", "2000")), N_READS)
+    os.environ["BURST_TPU_HOST"] = "1"
+    try:
+        sh = qheads[:n_sub]
+        ss = [r.copy() for r in reads[:n_sub]]
+        al.align_batch(sh, [r.copy() for r in ss])   # warm host caches
+        t0 = time.perf_counter()
+        rows_sub = run_pipeline(sh, ss, al)
+        dt_sub = time.perf_counter() - t0
+    finally:
+        os.environ["BURST_TPU_HOST"] = "0"
+    sub_cells = cells * n_sub / N_READS
+    _emit(n_sub / dt_sub, db_bp, n_pairs, sub_cells / dt_sub / 1e9,
+          rows_sub, 0.0, 0.0, provisional=True, path="host-subset")
+    print(f"[bench] host subset {n_sub} reads in {dt_sub:.1f}s "
+          f"({n_sub/dt_sub:.0f} reads/s all-CPU), budget "
+          f"{deadline-time.time():.0f}s left", file=sys.stderr)
+
+    # ---- stage 2: full-size passes, device if it is healthy ----
+    if os.environ.get("BENCH_FORCE_HOST"):
+        os.environ["BURST_TPU_HOST"] = "1"
+        print("[bench] BENCH_FORCE_HOST: all-host full run",
+              file=sys.stderr)
+    else:
+        _wait_for_device(deadline)
+        devtime.probe(60)   # marks the backend dead if it hangs now
+
+    def _path():
+        return "device" if devtime.device_ok() else "host"
+
     # ONE warm-up pass: compiles all kernel shapes, builds device-side
     # caches, faults in allocator pages (persisted .edx/.acx +
     # steady-state serving is the production mode)
     t0 = time.perf_counter()
     n_rows = run_pipeline(qheads, reads, al)
-    print(f"[bench] warmup {time.perf_counter()-t0:.0f}s, "
+    print(f"[bench] warmup {time.perf_counter()-t0:.0f}s ({_path()}), "
           f"{n_rows} b6 rows, {n_pairs/N_READS:.1f} pairs/read, "
           f"budget {deadline-time.time():.0f}s left", file=sys.stderr)
 
     # measured pass 1, device-time tracked -> PROVISIONAL metric line
-    # (a watchdog kill after this point still leaves a parsed result)
     t0 = time.perf_counter()
     with devtime.track() as acc_t:
         run_pipeline(qheads, reads, al)
     dt1 = time.perf_counter() - t0
     device_s = acc_t["s"]
     mfu = cells * OPS_PER_CELL / max(device_s, 1e-9) / PEAK_U32_OPS
+    if not devtime.device_ok():
+        device_s, mfu = 0.0, 0.0
     _emit(N_READS / dt1, db_bp, n_pairs, cells / dt1 / 1e9, n_rows,
-          device_s, mfu, provisional=True)
-    print(f"[bench] pass1 {dt1:.1f}s wall, {device_s:.1f}s device-"
-          f"blocked over {acc_t['n']} fetches", file=sys.stderr)
+          device_s, mfu, provisional=True, path=_path())
+    print(f"[bench] pass1 {dt1:.1f}s wall ({_path()}), "
+          f"{device_s:.1f}s device-blocked over {acc_t['n']} fetches",
+          file=sys.stderr)
 
     # refinement passes, scheduled only while the budget allows:
     # a pipelined 4-batch stream (one batch's host work overlaps
     # another's device scans), then sequential repeats; best wins --
     # on a noisy single-CPU host any one variant can get unlucky.
     best = dt1
-    if deadline - time.time() > 4 * dt1 + 120:
+    if devtime.device_ok() and deadline - time.time() > 4 * dt1 + 120:
         t0 = time.perf_counter()
         for _ in al.align_stream([(qheads, reads)] * 4):
             pass
@@ -282,16 +328,21 @@ def main():
             break
     reads_per_sec = N_READS / best
     gcups = cells / best / 1e9
-    _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu)
+    _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu,
+          path=_path())
     return 0
 
 
 def _cpu_s(pid: int):
-    """Child's cumulative CPU seconds from /proc (None if gone)."""
+    """Child's cumulative CPU seconds from /proc, including reaped
+    grandchildren (cutime/cstime: the _wait_for_device probes run in
+    subprocesses, and their CPU must count as progress or a healthy
+    child waiting out a device stall reads as wedged). None if gone."""
     try:
         with open(f"/proc/{pid}/stat") as f:
             parts = f.read().rsplit(") ", 1)[1].split()
-        return (int(parts[11]) + int(parts[12])) \
+        return (int(parts[11]) + int(parts[12])
+                + int(parts[13]) + int(parts[14])) \
             / os.sysconf("SC_CLK_TCK")
     except Exception:
         return None
@@ -300,16 +351,18 @@ def _cpu_s(pid: int):
 def _supervise():
     """Run the bench in a child process under a wall-clock budget.
 
-    The dev rig's tunneled TPU drops for minutes at a time; a drop
-    mid-run kills the backend for the whole process (jax caches the
-    broken client and a blocked device fetch never returns), so
-    recovery needs a FRESH interpreter. Two triggers kill the child:
-    the BENCH_DEADLINE_S wall budget (default 1500s), and a WEDGE
-    WATCHDOG -- if the child's CPU time stops advancing for
-    BENCH_WEDGE_S (default 300s) it is blocked on a dead tunnel
-    socket, not computing (every long stage is host CPU or frequent
-    small device fetches). Wedge kills always retry while >8 minutes
-    remain: the stage caches make a retry cheap. Plain failures retry
+    The child is expected to survive device stalls on its own now
+    (devtime fetch watchdog + host kernel fallbacks); this supervisor
+    is the backstop for the residual wedge windows (a hang inside
+    device_put/compilation outside any guarded fetch). Two triggers
+    kill the child: the BENCH_DEADLINE_S wall budget (default 1500s),
+    and a WEDGE WATCHDOG -- if the child's CPU time (self + reaped
+    probes) stops advancing for BENCH_WEDGE_S (default 420s, above the
+    _wait_for_device cap) it is blocked on a dead tunnel socket, not
+    computing. Wedge kills always retry while >8 minutes remain, and
+    the retries ESCALATE: attempt 2 forces the host scour
+    (BURST_TPU_DEV_SCOUR=0), attempt 3+ forces the all-host path
+    (BENCH_FORCE_HOST=1, which cannot wedge). Plain failures retry
     only while attempts (BENCH_ATTEMPTS, default 1) remain. The child
     inherits stdout so the JSON metric lines land where the driver
     reads them.
@@ -318,12 +371,16 @@ def _supervise():
 
     deadline = _deadline()
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "1"))
-    wedge_s = float(os.environ.get("BENCH_WEDGE_S", "300"))
+    wedge_s = float(os.environ.get("BENCH_WEDGE_S", "420"))
     env = dict(os.environ, BENCH_CHILD="1",
                BENCH_DEADLINE_AT=repr(deadline))
     rc, i = 1, 0
     while True:
         i += 1
+        if i == 2:
+            env["BURST_TPU_DEV_SCOUR"] = "0"
+        elif i >= 3:
+            env["BENCH_FORCE_HOST"] = "1"
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env)
         last_cpu, last_adv, wedged = -1.0, time.time(), False
@@ -343,12 +400,33 @@ def _supervise():
                     print(f"[bench] child wedged (no CPU progress "
                           f"{now - last_adv:.0f}s); killing",
                           file=sys.stderr)
-                child.kill()
-                child.wait()
+                # SIGTERM first: a clean interpreter exit cannot leave
+                # a truncated compile-cache entry behind (see the
+                # segfault handling below); SIGKILL only if it hangs
+                child.terminate()
+                try:
+                    child.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    child.kill()
+                    child.wait()
                 rc = -1
                 break
         if rc == 0:
             return 0
+        if rc == -11:
+            # segfault: the usual cause is a compile-cache entry
+            # truncated by an earlier kill (jax's cache writes are not
+            # atomic; zstd faults reading the partial file). Clear it
+            # and always retry -- the caches make reruns cheap.
+            import shutil
+            cache = os.environ.get("BURST_TPU_COMPILE_CACHE", "1")
+            if cache in ("1", "on"):
+                cache = os.path.expanduser("~/.cache/burst_tpu_xla")
+            if cache not in ("0", "", "off"):
+                shutil.rmtree(cache, ignore_errors=True)
+                print("[bench] child segfaulted; cleared the XLA "
+                      "compile cache and retrying", file=sys.stderr)
+            wedged = True
         if deadline - time.time() < 480:
             return rc
         if not wedged and i >= attempts:

@@ -12,7 +12,7 @@ import sys
 
 import numpy as np
 
-from . import engine, modes
+from . import devtime, engine, modes
 from .alphabet import score_matrix
 from .io.fasta import parse_fasta, parse_fasta_fast
 from .io.taxonomy import Taxonomy
@@ -423,7 +423,13 @@ def main(argv=None):
     if not a["out"] or not a["ref"] and not a["makedb"]:
         print("ERROR: missing required arguments")
         return 1
-    return run(a)
+    try:
+        return run(a)
+    except devtime.DeviceStall:
+        # a stall inside a fused device dispatch chain marked the
+        # backend dead (devtime); rerun on the all-host path -- the
+        # output file is reopened/truncated, bytes identical
+        return run(a)
 
 
 if __name__ == "__main__":

@@ -1,4 +1,4 @@
-"""Blocked-on-device time accounting.
+"""Blocked-on-device time accounting + device-stall recovery.
 
 The reference prints wall-clock phase timers (burst.c:1916-1925, 5162);
 a TPU deployment additionally wants to know how much of a batch's wall
@@ -11,6 +11,21 @@ upper bound on device-busy time for the batch (it includes the
 device->host transfer and, on tunneled rigs, the RPC round trip -- so
 the MFU derived from it is a lower bound).
 
+Stall recovery: the dev rig's tunneled TPU drops for minutes at a time,
+and a blocked device fetch on a dropped tunnel never returns (jax
+caches the broken client for the process lifetime). `fetch` therefore
+runs the device_get on a worker thread with a timeout
+(BURST_TPU_FETCH_TIMEOUT_S, default 240s; 0 disables). On timeout the
+backend is marked dead for the rest of the process (`device_ok()`
+flips False, so every dispatch site switches to the host kernels in
+kernels/host.py) and the caller's `fallback` closure recomputes the
+pending chunks on the CPU -- the batch completes with byte-identical
+output. Callers without a fallback get a DeviceStall exception
+(serving.Aligner retries the batch through the all-host path).
+
+BURST_TPU_HOST=1 forces `device_ok()` False from the start: pure-CPU
+execution that never touches (or initializes) a device backend.
+
 Usage:
     with devtime.track() as acc:
         aligner.align_batch(...)
@@ -22,13 +37,40 @@ Tracking is off by default and costs one `is None` check per fetch.
 from __future__ import annotations
 
 import contextlib
+import os
+import sys
+import threading
 import time
 
 _acc = None
+_DEAD = False
 
 
-def fetch(tree):
-    """jax.device_get with optional blocked-time accounting."""
+class DeviceStall(RuntimeError):
+    """A device fetch exceeded BURST_TPU_FETCH_TIMEOUT_S."""
+
+
+def device_ok() -> bool:
+    """False once the backend stalled (or under BURST_TPU_HOST=1):
+    dispatch sites must route to the host kernels."""
+    if _DEAD:
+        return False
+    return os.environ.get("BURST_TPU_HOST", "") in ("", "0")
+
+
+def mark_dead(why: str = "stall"):
+    global _DEAD
+    if not _DEAD:
+        print(f"[burst_tpu] device backend marked dead ({why}); "
+              "continuing on host kernels", file=sys.stderr, flush=True)
+    _DEAD = True
+
+
+def _timeout_s() -> float:
+    return float(os.environ.get("BURST_TPU_FETCH_TIMEOUT_S", "240"))
+
+
+def _get(tree):
     import jax
 
     if _acc is None:
@@ -38,6 +80,66 @@ def fetch(tree):
     _acc["s"] += time.perf_counter() - t0
     _acc["n"] += 1
     return out
+
+
+def fetch(tree, fallback=None):
+    """jax.device_get with blocked-time accounting and a stall watchdog.
+
+    `fallback`: zero-arg closure recomputing the same results on the
+    host; invoked (and the backend marked dead) if the fetch times
+    out. Without one, DeviceStall is raised instead.
+    """
+    to = _timeout_s()
+    if to <= 0:
+        return _get(tree)
+    box: list = []
+
+    def _worker():
+        try:
+            box.append(("ok", _get(tree)))
+        except BaseException as e:  # surfaced to the caller below
+            box.append(("err", e))
+
+    t = threading.Thread(target=_worker, daemon=True)
+    t.start()
+    t.join(to)
+    if box:
+        kind, val = box[0]
+        if kind == "ok":
+            return val
+        raise val
+    mark_dead(f"fetch exceeded {to:.0f}s")
+    if fallback is not None:
+        return fallback()
+    raise DeviceStall(f"device fetch exceeded {to:.0f}s")
+
+
+def probe(timeout_s: float = 60.0) -> bool:
+    """Guarded device health check: one tiny compile+fetch round trip,
+    run entirely on a worker thread (a dead tunnel hangs device_put and
+    compilation too, not just fetches -- an unguarded probe would wedge
+    the caller). On timeout the backend is marked dead so every
+    dispatch site stays on the host kernels."""
+    if not device_ok():
+        return False
+    box: list = []
+
+    def _worker():
+        try:
+            import jax
+            import jax.numpy as jnp
+            jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+            box.append(True)
+        except BaseException:
+            box.append(False)
+
+    t = threading.Thread(target=_worker, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        mark_dead(f"probe exceeded {timeout_s:.0f}s")
+        return False
+    return bool(box[0])
 
 
 @contextlib.contextmanager

@@ -176,6 +176,8 @@ def prefetch_query_planes(qd: QueryData, smat: np.ndarray):
     (~90ms at 20k reads over a tunneled link) query-plane upload
     overlap the host-side k-mer scour instead of serializing in
     front of the phase-A kernel dispatch."""
+    if not devtime.device_ok():
+        return
     _, _, qw = _query_matrix(qd)
     for W in np.unique(qw):
         _peq_device(qd, int(W), smat)
@@ -245,6 +247,37 @@ def _myers_pairs_dispatch(peq_dev, tiles_dev, pidx, tidx, W: int):
                                          tidx, int(W))
 
 
+def _myers_host_closure(peq_h, tiles_h, pidx, tidx, W: int, n: int):
+    """Host recompute closure for one deferred phase-A chunk (invoked
+    by devtime.fetch on a device stall; see kernels/host.py). Captures
+    the cached HOST arrays, never device ones."""
+    def run():
+        from .kernels.host import myers_pairs_host
+        return myers_pairs_host(peq_h, tiles_h, pidx, tidx, W, n=n)
+    return run
+
+
+def _pending_fallback(pending, res_i: int, clo_i: int):
+    """Host-recompute fallback for a batched fetch over `pending`:
+    closure entries recompute; pre-resolved numpy entries pass through."""
+    def fb():
+        out = []
+        for e in pending:
+            clo = e[clo_i]
+            out.append(e[res_i] if clo is None else clo())
+        return out
+    return fb
+
+
+def _host_cross(pq: np.ndarray, tb: np.ndarray, W: int) -> np.ndarray:
+    """Host twin of _myers_cross_dispatch: [Q, T] min-ED block."""
+    from .kernels.host import myers_pairs_host
+    Q, T = pq.shape[0], tb.shape[0]
+    pidx = np.repeat(np.arange(Q, dtype=np.int32), T)
+    tidx = np.tile(np.arange(T, dtype=np.int32), Q)
+    return myers_pairs_host(pq, tb, pidx, tidx, W)[0].reshape(Q, T)
+
+
 def _myers_cross_dispatch(pq, tb, W: int):
     """Pallas cross kernel on TPU when the block shape fits."""
     from .kernels.rescore import _use_pallas
@@ -273,9 +306,10 @@ def iter_ed_blocks(qd: QueryData, rd: RefData, smat: np.ndarray,
     pending = []
 
     def _drain():
-        host = devtime.fetch([b for _, _, b, _, _ in pending])
+        host = devtime.fetch([b for _, _, b, _, _, _ in pending],
+                             fallback=_pending_fallback(pending, 2, 5))
         out = []
-        for (rws, pss, _, nq, nt), block in zip(pending, host):
+        for (rws, pss, _, nq, nt, _), block in zip(pending, host):
             block = np.minimum(block, 255).astype(np.uint8)
             out.append((rws, pss, block[:nq, :nt]))
         pending.clear()
@@ -294,15 +328,21 @@ def iter_ed_blocks(qd: QueryData, rd: RefData, smat: np.ndarray,
             tiles, _ = _tile_matrix(rd, int(lb), np.array(poss), 32)
             qchunk = min(QCHUNK, _pow2_ceil(len(rows)))
             tchunk = min(TCHUNK, _pow2_ceil(len(poss)))
+            use_dev = devtime.device_ok()
             for q0 in range(0, len(rows), qchunk):
                 pq = _pad_rows(peq[q0:q0 + qchunk], qchunk)
                 for t0 in range(0, len(poss), tchunk):
                     tb = _pad_rows(tiles[t0:t0 + tchunk], tchunk)
-                    block = _myers_cross_dispatch(pq, tb, W)
                     nq = min(qchunk, len(rows) - q0)
                     nt = min(tchunk, len(poss) - t0)
+                    if use_dev:
+                        block = _myers_cross_dispatch(pq, tb, W)
+                        clo = (lambda pq=pq, tb=tb, W=W:
+                               _host_cross(pq, tb, W))
+                    else:
+                        block, clo = _host_cross(pq, tb, W), None
                     pending.append((rows[q0:q0 + nq], poss[t0:t0 + nt],
-                                    block, nq, nt))
+                                    block, nq, nt, clo))
                     if len(pending) >= max_pending:
                         yield from _drain()
     if pending:
@@ -541,8 +581,18 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
         x0_all[known] = x0c[known]
         span_all[known] = (last_m - first_m)[known]
 
-    def _dispatch(sel, W, lb, peq_dev, tiles_dev, prows, trows,
-                  x0s, Lw):
+    def _host_clo(peq_h, tiles_h, pidx, tidx, qlens, bnd, W, xc, Lw,
+                  n):
+        def run():
+            from .kernels.host import rescore_pairs_host
+            rows = min(W * 32, int(-(-int(qlens.max()) // 8)) * 8) \
+                if len(qlens) else W * 32
+            return rescore_pairs_host(peq_h, tiles_h, pidx, tidx,
+                                      qlens, bnd, W, rows, xc, Lw, n=n)
+        return run
+
+    def _dispatch(sel, W, lb, use_dev, peq_dev, tiles_dev, peq_h,
+                  tiles_h, prows, trows, x0s, Lw):
         # 4x the canonical block: winner batches run ~1 pair/read, so
         # larger chunks cut per-dispatch host glue without VMEM risk
         # (the rescore kernel grids over 256-pair blocks internally)
@@ -558,17 +608,20 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
             bnd = np.zeros(pchunk, np.int64)
             bnd[: len(part)] = bound[part]
             if x0s is None:
-                dev = rescore_pairs_gather_async(
-                    peq_dev, tiles_dev, pidx, tidx, qlens, bnd,
-                    int(W), smat)
-                pending.append((part, qlens, dev, None))
+                xc = None
             else:
                 xc = np.zeros(pchunk, np.int64)
                 xc[: len(part)] = x0s[s0:s0 + pchunk]
+            clo = _host_clo(peq_h, tiles_h, pidx, tidx, qlens, bnd,
+                            int(W), xc, Lw, len(part))
+            if use_dev:
                 dev = rescore_pairs_gather_async(
                     peq_dev, tiles_dev, pidx, tidx, qlens, bnd,
-                    int(W), smat, x0=xc, Lw=Lw)
-                pending.append((part, qlens, dev, xc))
+                    int(W), smat, x0=xc, Lw=Lw if xc is not None
+                    else None)
+                pending.append((part, qlens, dev, xc, clo))
+            else:
+                pending.append((part, qlens, clo(), xc, None))
 
     for W in np.unique(qws[todo] if n else qws):
         for lb in np.unique(lbs[todo & (qws == W)]):
@@ -577,15 +630,24 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
             lp = int(lb) + m_pad
             lp = -(-lp // 64) * 64
             nbkt = int(np.count_nonzero(_unit_lb(rd) == lb))
+            use_dev = devtime.device_ok()
+            tiles_dev = peq_dev = None
             if _slab_rows_for(nbkt, lp) is not None:
                 # bucket over the HBM tile budget: winners are few, so
                 # upload a compact submatrix of just their tiles
-                pos2row, tiles_dev = _winner_tiles_device(
-                    rd, int(lb), lp - int(lb), refpos[grp])
+                pos2row, tiles_dev, tiles_h = _winner_tiles_device(
+                    rd, int(lb), lp - int(lb), refpos[grp],
+                    want_dev=use_dev)
             else:
-                pos2row, tiles_dev = _tiles_device(rd, int(lb),
-                                                   lp - int(lb))
-            row2local, peq_dev = _peq_device(qd, int(W), smat)
+                bpos = np.nonzero(_unit_lb(rd) == lb)[0]
+                tiles_h, pos2row = _tile_matrix(rd, int(lb), bpos,
+                                                lp - int(lb))
+                if use_dev:
+                    _, tiles_dev = _tiles_device(rd, int(lb),
+                                                 lp - int(lb))
+            row2local, peq_h = _peq_cache(qd, int(W), smat)
+            if use_dev:
+                _, peq_dev = _peq_device(qd, int(W), smat)
             # windowed subset: tie span + scan rows + budget must fit Lw
             qmax = int(qlens_all[juni[grp]].max()) if grp.any() else 2
             rows_g = min(m_pad, -(-qmax // 8) * 8)
@@ -602,17 +664,19 @@ def rescore_winners(qd: QueryData, rd: RefData, juni, refpos, eds,
                     continue
                 trows = pos2row[refpos[sel]]
                 prows = row2local[juni[sel]]
-                _dispatch(sel, W, lb, peq_dev, tiles_dev, prows, trows,
+                _dispatch(sel, W, lb, use_dev, peq_dev, tiles_dev,
+                          peq_h, tiles_h, prows, trows,
                           x0_all[sel] if x0flag else None, Lw)
     # one batched fetch for every chunk's packed [4, N] output:
     # separate conversions each pay a device->host RPC round trip
     if pending:
-        import jax
-        host = devtime.fetch([dev for _, _, dev, _ in pending])
-        for ci, (part, qlens, dev, xc) in enumerate(pending):
-            h = host[ci]
+        host = devtime.fetch([dev for _, _, dev, _, _ in pending],
+                             fallback=_pending_fallback(pending, 2, 4))
+        for ci, (part, qlens, dev, xc, _) in enumerate(pending):
+            h = np.asarray(host[ci])
+            m = h.shape[1]          # host chunks are n-wide, not pchunk
             e, gq, gr, fp, sc = rescore_finalize_host(
-                h[0], h[1], h[2], h[3], qlens)
+                h[0], h[1], h[2], h[3], qlens[:m])
             n = len(part)
             gap_q[part] = gq[:n]
             gap_r[part] = gr[:n]
@@ -693,12 +757,13 @@ class SparseED:
         np.asarray conversions each pay a device->host RPC round trip
         (tens of ms on tunneled TPU rigs)."""
         if self.pending is not None:
-            import jax
             self.pe = np.full(len(self.pj), 255, dtype=np.int64)
             self.plast = np.full(len(self.pj), -1, dtype=np.int64)
             self.pfirst = np.full(len(self.pj), -1, dtype=np.int64)
-            host = devtime.fetch([res for _, res in self.pending])
-            for (part, _), h in zip(self.pending, host):
+            host = devtime.fetch(
+                [res for _, res, _ in self.pending],
+                fallback=_pending_fallback(self.pending, 1, 2))
+            for (part, _, _), h in zip(self.pending, host):
                 if h.ndim == 2:       # packed [3, B] (ed, first, last)
                     self.pe[part] = h[0][: len(part)]
                     self.pfirst[part] = h[1][: len(part)]
@@ -1197,8 +1262,11 @@ def _ambig_word_lists(qd, b0: int, k: int, z: int):
 def _use_device_scour(override: bool | None = None) -> bool:
     """Device scour policy: per-call override wins, then
     BURST_TPU_DEV_SCOUR=1/0, then on iff the default JAX backend is an
-    accelerator."""
+    accelerator. A dead/forced-host backend (devtime.device_ok) vetoes
+    everything -- including overrides."""
     import os
+    if not devtime.device_ok():
+        return False
     if override is not None:
         return override
     v = os.environ.get("BURST_TPU_DEV_SCOUR")
@@ -1531,9 +1599,9 @@ def _tiles_device_all(rd: RefData, pad: int = 32):
         lbmax = int(_unit_lb(rd).max()) if rd.tot_units else 64
         npad = _pow2_ceil(max(1, rd.tot_units))
         mat = np.zeros((npad, lbmax + pad), dtype=np.uint8)
-        for p in range(rd.tot_units):
-            s = rd.seqs[rd.ix_srt[p]]
-            mat[p, : len(s)] = s
+        # chunked native memcpy (the per-row Python loop costs minutes
+        # at production unit counts; see _fill_rows)
+        _fill_rows(mat, rd, np.arange(rd.tot_units, dtype=np.int64))
         got = rd._tilealldev = jnp.asarray(mat)
     return got
 
@@ -1659,7 +1727,8 @@ def accel_scan_fused(qd: QueryData, rd: RefData, acc,
     nh = len(pj_h)
     if len(pinfo["uj"]):
         pending = list(pending) + [
-            (np.arange(nh, nh + len(pinfo["uj"])), pinfo["packed"])]
+            (np.arange(nh, nh + len(pinfo["uj"])), pinfo["packed"],
+             None)]
     sed = SparseED(pj=pj, pp=pp, pe=None, full_rows=full_rows,
                    ed_full=ed_full, pending=pending)
     return vis, sed
@@ -1764,7 +1833,7 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
     qws = qw_all[pj]
     lbs = _unit_lb(rd)[pp]
     order = np.arange(n)
-    pending = []                     # (part, device result)
+    pending = []                     # (part, result, host closure)
     for W in np.unique(qws):
         for lb in np.unique(lbs[qws == W]):
             sel = order[(qws == W) & (lbs == lb)]
@@ -1776,9 +1845,14 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
                 pending.extend(_pairs_slab_stream(
                     qd, rd, sel, pj, pp, int(W), int(lb), slab, smat))
                 continue
-            pos2row, tiles_dev = _tiles_device(rd, int(lb), 32)
+            use_dev = devtime.device_ok()
+            bpos = np.nonzero(_unit_lb(rd) == lb)[0]
+            tiles_h, pos2row = _tile_matrix(rd, int(lb), bpos, 32)
+            row2local, peq_h = _peq_cache(qd, int(W), smat)
+            if use_dev:
+                _, tiles_dev = _tiles_device(rd, int(lb), 32)
+                _, peq_dev = _peq_device(qd, int(W), smat)
             trows = pos2row[pp[sel]]
-            row2local, peq_dev = _peq_device(qd, int(W), smat)
             prows = row2local[pj[sel]]
             pchunk = min(QCHUNK * 4, _pow2_ceil(len(sel)))
             for s0 in range(0, len(sel), pchunk):
@@ -1787,24 +1861,33 @@ def _pairs_min_ed(qd: QueryData, rd: RefData, pj: np.ndarray,
                 tidx = np.zeros(pchunk, np.int32)
                 pidx[: len(part)] = prows[s0:s0 + pchunk]
                 tidx[: len(part)] = trows[s0:s0 + pchunk]
-                pending.append((part, _myers_pairs_dispatch(
-                    peq_dev, tiles_dev, pidx, tidx, int(W))))
+                if use_dev:
+                    pending.append((part, _myers_pairs_dispatch(
+                        peq_dev, tiles_dev, pidx, tidx, int(W)),
+                        _myers_host_closure(peq_h, tiles_h, pidx, tidx,
+                                            int(W), len(part))))
+                else:
+                    from .kernels.host import myers_pairs_host
+                    pending.append((part, myers_pairs_host(
+                        peq_h, tiles_h, pidx, tidx, int(W),
+                        n=len(part)), None))
     if defer:
         return pending
     if pending:
-        import jax
-        host = devtime.fetch([res for _, res in pending])
-        for (part, _), h in zip(pending, host):
+        host = devtime.fetch([res for _, res, _ in pending],
+                             fallback=_pending_fallback(pending, 1, 2))
+        for (part, _, _), h in zip(pending, host):
             out[part] = (h[0] if h.ndim == 2 else h)[: len(part)]
     return out
 
 
-def _winner_tiles_device(rd: RefData, lb: int, pad: int, positions):
-    """Compact device tile matrix holding only the given sorted-unit
-    positions (rescore against an over-budget bucket: the winner set is
-    tiny next to the bucket, so gathering their rows host-side and
-    uploading just those bounds HBM at O(winners))."""
-    import jax.numpy as jnp
+def _winner_tiles_device(rd: RefData, lb: int, pad: int, positions,
+                         want_dev: bool = True):
+    """Compact tile matrix holding only the given sorted-unit positions
+    (rescore against an over-budget bucket: the winner set is tiny next
+    to the bucket, so gathering their rows host-side and uploading just
+    those bounds HBM at O(winners)). Returns (pos2row, device matrix or
+    None, host matrix)."""
     uniq = np.unique(np.asarray(positions, dtype=np.int64))
     mat = np.zeros((max(len(uniq), 1), lb + pad), dtype=np.uint8)
     for i, p in enumerate(uniq):
@@ -1814,7 +1897,10 @@ def _winner_tiles_device(rd: RefData, lb: int, pad: int, positions):
         mat = _pad_rows(mat, -(-mat.shape[0] // 8) * 8)
     pos2row = np.full(rd.tot_units, -1, dtype=np.int64)
     pos2row[uniq] = np.arange(len(uniq))
-    return pos2row, jnp.asarray(mat)
+    if not want_dev:
+        return pos2row, None, mat
+    import jax.numpy as jnp
+    return pos2row, jnp.asarray(mat), mat
 
 
 def _pairs_slab_stream(qd: QueryData, rd: RefData, sel, pj, pp, W: int,
@@ -1824,21 +1910,19 @@ def _pairs_slab_stream(qd: QueryData, rd: RefData, sel, pj, pp, W: int,
     while slab i's results drain (one slab-deep pipeline bounds device
     memory at two slabs). Returns pre-resolved (part, host result)
     chunks compatible with the deferred-pending protocol."""
-    import jax
-    import jax.numpy as jnp
-
     bpos = np.nonzero(_unit_lb(rd) == lb)[0]
     tmat, pos2row = _tile_matrix(rd, lb, bpos, 32)
-    row2local, peq_dev = _peq_device(qd, W, smat)
+    row2local, peq_h = _peq_cache(qd, W, smat)
     trows = pos2row[pp[sel]]
     so = np.argsort(trows, kind="stable")
     sel_s, trows_s = sel[so], trows[so]
     sids = trows_s // slab
 
     def _resolve(chunks, into):
-        host = devtime.fetch([d for _, d in chunks])
-        for (part, _), h in zip(chunks, host):
-            into.append((part, h))
+        host = devtime.fetch([d for _, d, _ in chunks],
+                             fallback=_pending_fallback(chunks, 1, 2))
+        for (part, _, _), h in zip(chunks, host):
+            into.append((part, h, None))
 
     resolved: list = []
     inflight: list = []
@@ -1848,7 +1932,11 @@ def _pairs_slab_stream(qd: QueryData, rd: RefData, sel, pj, pp, W: int,
         hs = tmat[lo: lo + slab]
         if hs.shape[0] % 8:
             hs = _pad_rows(hs, -(-hs.shape[0] // 8) * 8)
-        tiles_dev = jnp.asarray(hs)
+        use_dev = devtime.device_ok()
+        if use_dev:
+            import jax.numpy as jnp
+            _, peq_dev = _peq_device(qd, W, smat)
+            tiles_dev = jnp.asarray(hs)
         part_all = sel_s[g0:g1]
         prows = row2local[pj[part_all]]
         tloc = trows_s[g0:g1] - lo
@@ -1860,8 +1948,15 @@ def _pairs_slab_stream(qd: QueryData, rd: RefData, sel, pj, pp, W: int,
             tidx = np.zeros(pchunk, np.int32)
             pidx[: len(part)] = prows[s0:s0 + pchunk]
             tidx[: len(part)] = tloc[s0:s0 + pchunk]
-            chunks.append((part, _myers_pairs_dispatch(
-                peq_dev, tiles_dev, pidx, tidx, W)))
+            if use_dev:
+                chunks.append((part, _myers_pairs_dispatch(
+                    peq_dev, tiles_dev, pidx, tidx, W),
+                    _myers_host_closure(peq_h, hs, pidx, tidx, W,
+                                        len(part))))
+            else:
+                from .kernels.host import myers_pairs_host
+                chunks.append((part, myers_pairs_host(
+                    peq_h, hs, pidx, tidx, W, n=len(part)), None))
         if inflight:
             _resolve(inflight, resolved)
         inflight = chunks

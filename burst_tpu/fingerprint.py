@@ -235,7 +235,7 @@ def em_refine(p: np.ndarray, ix_array: np.ndarray, tot_r: int,
     n_clus = tot16 >> 4
     if n_clus == 0 or rounds <= 0:
         return ix_array
-    ix_array = ix_array.copy()
+    ix_array = np.ascontiguousarray(ix_array, dtype=np.int64).copy()
     P = np.zeros((tot16, 32), dtype=np.uint8)
     live = ix_array < tot_r                    # padding rows stay zero
     P[live] = p[ix_array[live]]
@@ -276,6 +276,17 @@ def em_refine(p: np.ndarray, ix_array: np.ndarray, tot_r: int,
         for z in range(n_clus):
             r = cache[z]
             shf[z], shf[r] = shf[r], shf[z]
+        from .native import em_swap_pairs_native
+        if em_swap_pairs_native(
+                P, np.asarray(shf[:tot2], dtype=np.int64),
+                clus_pop, ix_array, tot_r):
+            # native descent did this round's pairs (production scale:
+            # the Python loop below is its executable spec, kept as
+            # the no-compiler fallback and the differential oracle)
+            if _dbg:
+                print(f"[em r{_rnd}] cur={int(clus_pop.sum())} "
+                      f"shf={shf[:n_clus]}")
+            continue
         for j in range(0, tot2, 2):
             c1, c2 = shf[j], shf[j + 1]
             c1o, c2o = c1 << 4, c2 << 4

@@ -255,6 +255,10 @@ def _levels_for(max_ed: np.ndarray) -> int:
 
 
 def _use_pallas() -> bool:
+    from .. import devtime
+    if not devtime.device_ok():
+        return False            # dead backend / BURST_TPU_HOST=1:
+        #                         never (re-)initialize a device client
     if os.environ.get("BURST_TPU_PALLAS", "") == "0":
         return False            # force the jnp paths (e.g. a CPU
         #                         cross-check run on a TPU-backed host)

@@ -836,39 +836,58 @@ def _emit_any(hits, qd: QueryData, rd: RefData, writer: B6Writer, smat,
 
 def report_any(ed_matrix: np.ndarray, qd: QueryData, rd: RefData,
                writer: B6Writer, smat=None, rescore_fn=None):
-    """ANY mode: first valid hit per query in (clump asc, row asc, lane asc)
-    scan order; realtime inline printing (burst.c:4457-4475)."""
+    """ANY mode: realtime inline printing in the reference's
+    single-thread full-path scan order (burst.c:4343-4475 at -t 1):
+    clumps ascending, unibins ascending within each clump; a base
+    query prints at its first qualifying (clump, unibin) event, and
+    the printed lane is the first lane of that clump at or under the
+    budget (burst.c:4444-4447: min = Emac for ANY, first z breaks)."""
     from .engine import rescore_winners
 
     if rescore_fn is None:
         rescore_fn = rescore_winners
     nj = len(qd.seqs)
     budr = qd.ed[qd.six].astype(np.int64)
-    # first qualifying unit per unibin row; the scan order is unit-major
-    # then row-minor, so a base query's winner minimizes (unit, row rank)
+    # the reference re-sorts ALL unibins lexicographically before the
+    # direct scan when RC twins exist (burst.c:3178-3181: fwd and RC
+    # rows interleave in strcmp order); jrank is each row's position in
+    # that scan. Without RC the rows are already uniquely sorted and
+    # jrank is the identity.
+    seq_keys = [s.tobytes() for s in qd.seqs]
+    jrank = np.empty(nj, dtype=np.int64)
+    jrank[sorted(range(nj), key=seq_keys.__getitem__)] = np.arange(nj)
     mask = ed_matrix.astype(np.int64) <= budr[:, None]
-    has_row = mask.any(axis=1)
-    first_p = np.argmax(mask, axis=1)
+    # clump-level qualification: [nj, n_clumps] any-lane-under-budget
+    tot = ed_matrix.shape[1]
+    nc = -(-tot // VECSZ)
+    maskp = np.zeros((nj, nc * VECSZ), dtype=bool)
+    maskp[:, :tot] = mask
+    anyc = maskp.reshape(nj, nc, VECSZ).any(axis=2)
+    has_row = anyc.any(axis=1)
+    first_c = np.argmax(anyc, axis=1)
     rows = np.nonzero(has_row)[0]
-    hits = []  # (clump, juni, lane, refpos)
+    hits = []  # (clump, scan rank, lane, juni, refpos)
     if len(rows):
-        order = np.lexsort((rows, first_p[rows], qd.six[rows]))
+        # per base query: earliest scan event = min (clump, scan rank)
+        order = np.lexsort((jrank[rows], first_c[rows], qd.six[rows]))
         rs = rows[order]
         head = np.ones(len(rs), dtype=bool)
         six_s = qd.six[rs]
         np.not_equal(six_s[1:], six_s[:-1], out=head[1:])
         for j in rs[head]:
-            p = int(first_p[j])
-            hits.append((p // VECSZ, int(j), p % VECSZ, p))
+            c = int(first_c[j])
+            lane = int(np.argmax(maskp[j, c * VECSZ: (c + 1) * VECSZ]))
+            hits.append((c, int(jrank[j]), lane, int(j),
+                         c * VECSZ + lane))
     hits.sort(key=lambda h: (h[0], h[1], h[2]))
     if not hits:
         return
-    juni = np.array([h[1] for h in hits], dtype=np.int64)
-    refpos = np.array([h[3] for h in hits], dtype=np.int64)
-    eds = np.array([ed_matrix[h[1], h[3]] for h in hits], dtype=np.int64)
+    juni = np.array([h[3] for h in hits], dtype=np.int64)
+    refpos = np.array([h[4] for h in hits], dtype=np.int64)
+    eds = np.array([ed_matrix[h[3], h[4]] for h in hits], dtype=np.int64)
     pods = rescore_fn(qd, rd, juni, refpos, eds, "ANY", smat)
     # restore scan order (rescore_winners re-sorts into pod order)
-    order = np.lexsort((pods.refpos % VECSZ, pods.juni,
+    order = np.lexsort((pods.refpos % VECSZ, jrank[pods.juni],
                         pods.refpos // VECSZ))
     for ix in order:
         i = int(pods.six[ix])

@@ -137,6 +137,8 @@ def load_host():
             _U32P, _U8P, _I32P, _I32P, _I32P, _I32P, _I32P,
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.c_long, ctypes.c_long, _I32P]
+        lib.em_swap_pairs.argtypes = [
+            _U8P, _I64P, ctypes.c_long, _I64P, _I64P, ctypes.c_long]
         _HOST = lib
     except Exception:
         _HOST = None
@@ -450,6 +452,25 @@ def rescore_pairs_native(peq_all, tiles_all, pidx, tidx, qlens, max_ed,
                       B, peq.shape[1], W, tiles.shape[1], lw, rows,
                       _ptr(out, _I32P))
     return out[:, :B]
+
+
+def em_swap_pairs_native(P: np.ndarray, pairs: np.ndarray,
+                         clus_pop: np.ndarray, ix: np.ndarray,
+                         tot_r: int) -> bool:
+    """Native -cr EM swap descent over one round's disjoint cluster
+    pairs (fingerprint.em_refine inner loops). Mutates P, clus_pop and
+    ix in place; returns False if the lib is unavailable."""
+    lib = load_host()
+    if lib is None or not hasattr(lib, "em_swap_pairs"):
+        return False
+    assert P.flags.c_contiguous and P.dtype == np.uint8
+    pairs = np.ascontiguousarray(pairs, dtype=np.int64)
+    assert clus_pop.flags.c_contiguous and clus_pop.dtype == np.int64
+    assert ix.flags.c_contiguous and ix.dtype == np.int64
+    lib.em_swap_pairs(_ptr(P, _U8P), _ptr(pairs, _I64P),
+                      len(pairs) // 2, _ptr(clus_pop, _I64P),
+                      _ptr(ix, _I64P), tot_r)
+    return True
 
 
 def score_identity(ed: np.ndarray, divisor: np.ndarray) -> np.ndarray:

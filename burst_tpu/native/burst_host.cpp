@@ -959,3 +959,92 @@ void rescore_pairs(const uint32_t* peq_all, const uint8_t* tiles_all,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------- EM swap descent
+// One round of the -cr cluster-refinement swap descent
+// (fingerprint.em_refine, re-expressing burst.c:2515-2602): for each
+// paired pair of 16-row clusters, exhaustively try swapping each row
+// of cluster 1 with each remaining row of cluster 2, accepting a swap
+// iff it strictly lowers the summed union popcount. Pairs are
+// disjoint, so processing order cannot change the result. P holds
+// 32-byte fingerprints (16 rows per cluster); ix is the permutation
+// swapped alongside; rows >= tot_r are zero padding and excluded.
+
+static inline long pop32(const uint8_t* row) {
+    uint64_t w;
+    long s = 0;
+    for (int t = 0; t < 4; ++t) {
+        std::memcpy(&w, row + 8 * t, 8);
+        s += __builtin_popcountll(w);
+    }
+    return s;
+}
+
+extern "C" {
+
+void em_swap_pairs(uint8_t* P, const int64_t* pairs, long n_pairs,
+                   int64_t* clus_pop, int64_t* ix, long tot_r)
+{
+    uint8_t ex1[32], ex2[32], un[32], tmp[32];
+    for (long pr = 0; pr < n_pairs; ++pr) {
+        const int64_t c1 = pairs[2 * pr], c2 = pairs[2 * pr + 1];
+        const long c1o = (long)c1 << 4, c2o = (long)c2 << 4;
+        const long r1 = std::min(tot_r, c1o + 16);
+        const long r2 = std::min(tot_r, c2o + 16);
+        for (long k = c1o; k < r1; ++k) {
+            // ex1 = OR of cluster-1 rows except k
+            std::memset(ex1, 0, 32);
+            for (long t = c1o; t < c1o + 16; ++t) {
+                if (t == k) continue;
+                const uint8_t* rw = P + 32 * t;
+                for (int b = 0; b < 32; ++b) ex1[b] |= rw[b];
+            }
+            long m = c2o;
+            while (m < r2) {
+                const int64_t cur = clus_pop[c1] + clus_pop[c2];
+                long hit = -1;
+                long n1 = 0, n2 = 0;
+                for (long mi = m; mi < r2; ++mi) {
+                    // new cluster-1 union: ex1 | row mi
+                    const uint8_t* rm = P + 32 * mi;
+                    for (int b = 0; b < 32; ++b)
+                        un[b] = ex1[b] | rm[b];
+                    long v1 = pop32(un);
+                    // new cluster-2 union: OR of cluster-2 rows except
+                    // mi, with row k in its place
+                    std::memcpy(ex2, P + 32 * k, 32);
+                    for (long t = c2o; t < c2o + 16; ++t) {
+                        if (t == mi) continue;
+                        const uint8_t* rw = P + 32 * t;
+                        for (int b = 0; b < 32; ++b) ex2[b] |= rw[b];
+                    }
+                    long v2 = pop32(ex2);
+                    if (v1 + v2 < cur) { hit = mi; n1 = v1; n2 = v2;
+                                         break; }
+                }
+                if (hit < 0) break;
+                std::memcpy(tmp, P + 32 * k, 32);
+                std::memcpy(P + 32 * k, P + 32 * hit, 32);
+                std::memcpy(P + 32 * hit, tmp, 32);
+                clus_pop[c1] = n1;
+                clus_pop[c2] = n2;
+                const int64_t ti = ix[k];
+                ix[k] = ix[hit];
+                ix[hit] = ti;
+                // ex1 changed only through row k's content? no: row k
+                // itself is excluded from ex1, so ex1 is unchanged --
+                // but recompute to mirror the vectorized reference
+                // exactly (rows c1o..r1 outside k are untouched)
+                std::memset(ex1, 0, 32);
+                for (long t = c1o; t < c1o + 16; ++t) {
+                    if (t == k) continue;
+                    const uint8_t* rw = P + 32 * t;
+                    for (int b = 0; b < 32; ++b) ex1[b] |= rw[b];
+                }
+                m = hit + 1;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -61,24 +61,74 @@ def _sharded_scan(peq, tiles, W: int, mesh: Mesh):
     return fn(peq, tiles)
 
 
-def _sharded_tiles(rd, n_shards: int, pad: int):
-    """[S*slab, Lmax+pad] tile array in sorted-unit order, slab-padded
-    so shard s owns rows [s*slab, (s+1)*slab) (cached per (S, pad))."""
+def _sharded_tiles(rd, n_shards: int, pad: int, weights=None):
+    """Tile rows in sorted-unit order, partitioned into n_shards
+    CONTIGUOUS slabs balanced by `weights` (candidate mass per sorted
+    unit; None = equal unit counts), each slab padded to the tallest.
+    Shard s owns sorted positions [starts[s], starts[s+1]) at local
+    rows 0..; returns (tiles_dev [S*rows_max, Lmax+pad], starts [S+1],
+    rows_max, Lmax+pad). Cached per (S, pad): the first batch's
+    weights fix the partition, later batches reuse the resident tiles.
+
+    The reference's analog is OpenMP *dynamic* scheduling over clumps
+    (burst.c:4343-4344), which self-balances; across chips there is no
+    cheap work stealing, so static mass-balanced ownership plays that
+    role -- equal-count slabs measured load_balance 0.82 on clustered
+    DBs (SCALING.md), bounding eff(8) below the 80% target."""
+    from .. import engine as _eng
+
     cache = getattr(rd, "_shardtiles", None)
     if cache is None:
         cache = rd._shardtiles = {}
     got = cache.get((n_shards, pad))
     if got is None:
+        tot = rd.tot_units
         lmax = int(max((len(rd.seqs[rd.ix_srt[p]])
-                        for p in range(rd.tot_units)), default=1))
-        slab = -(-rd.tot_units // n_shards)
-        mat = np.zeros((slab * n_shards, lmax + pad), dtype=np.uint8)
-        for p in range(rd.tot_units):
-            s = rd.seqs[rd.ix_srt[p]]
-            mat[p, : len(s)] = s
-        got = cache[(n_shards, pad)] = (jnp.asarray(mat), slab,
-                                        lmax + pad)
+                        for p in range(tot)), default=1))
+        if weights is not None and n_shards > 1 and tot:
+            # equal-mass prefix split of the cumulative weight curve
+            # (+epsilon keeps zero-mass runs spread across shards)
+            w = np.asarray(weights, np.float64)[:tot] + 1e-3
+            cw = np.cumsum(w)
+            cuts = np.searchsorted(
+                cw, cw[-1] * np.arange(1, n_shards) / n_shards)
+            starts = np.concatenate(
+                ([0], cuts, [tot])).astype(np.int64)
+            np.maximum.accumulate(starts, out=starts)
+        else:
+            slab = -(-tot // n_shards) if tot else 1
+            starts = np.minimum(
+                np.arange(n_shards + 1, dtype=np.int64) * slab, tot)
+        rows_max = int(max((starts[1:] - starts[:-1]).max(), 1))
+        mat = np.zeros((rows_max * n_shards, lmax + pad),
+                       dtype=np.uint8)
+        for s in range(n_shards):
+            pos = np.arange(starts[s], starts[s + 1], dtype=np.int64)
+            _eng._fill_rows(mat[s * rows_max: s * rows_max + len(pos)],
+                            rd, pos)
+        got = cache[(n_shards, pad)] = (jnp.asarray(mat), starts,
+                                        rows_max, lmax + pad)
     return got
+
+
+def _pad_peq_interleave_q(peq, q_shards: int):
+    """Pad Peq rows to a q_shards multiple and permute them so shard s
+    owns original rows s, s+Q, s+2Q, ... (round-robin). Lexicographic
+    neighbors (similar queries, hence similar candidate-DB regions) so
+    spread across q-shards, which decorrelates the q x db load grid:
+    each q-shard's db-mass distribution approximates the global one
+    and the db equal-mass cuts balance every row of the grid.
+    Returns (peq_perm, rq); original row r lives on shard r % Q at
+    local row r // Q."""
+    R = peq.shape[0]
+    rq = -(-R // q_shards)
+    if rq * q_shards != R:
+        pad = np.zeros((rq * q_shards - R,) + peq.shape[1:], peq.dtype)
+        peq = np.concatenate([peq, pad], axis=0)
+    if q_shards > 1:
+        perm = np.arange(rq * q_shards).reshape(rq, q_shards).T.ravel()
+        peq = peq[perm]
+    return peq, rq
 
 
 def _pad_peq_q(peq, q_shards: int):
@@ -149,13 +199,15 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
         t0 = _time.perf_counter()
         sel = order[qws == W]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
-        peq, rq = _pad_peq_q(peq, q_shards)
-        tiles_dev, slab, lp = _sharded_tiles(rd, n_shards, 32)
+        peq, rq = _pad_peq_interleave_q(peq, q_shards)
+        tiles_dev, starts, _, lp = _sharded_tiles(
+            rd, n_shards, 32,
+            weights=np.bincount(pp, minlength=rd.tot_units))
         qrow = row2local[pj[sel]]
-        qs = qrow // rq
-        ds = pp[sel] // slab
+        qs = qrow % q_shards
+        ds = np.searchsorted(starts, pp[sel], side="right") - 1
         shard = qs * n_shards + ds            # flat (q, db) shard id
-        tloc = pp[sel] % slab
+        tloc = pp[sel] - starts[ds]
         nsh = q_shards * n_shards
         counts = np.bincount(shard, minlength=nsh)
         pmax = max(int(counts.max()), 1)
@@ -165,7 +217,7 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
         pos_in_shard = np.empty(len(sel), np.int64)
         off = np.concatenate(([0], np.cumsum(counts)[:-1]))
         pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
-        pidx_m[qs, ds, pos_in_shard] = (qrow % rq).astype(np.int32)
+        pidx_m[qs, ds, pos_in_shard] = (qrow // q_shards).astype(np.int32)
         tloc_m[qs, ds, pos_in_shard] = tloc.astype(np.int32)
         _stat_pairs(stats, shard, nsh)
 
@@ -233,14 +285,16 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
         t0 = _time.perf_counter()
         sel = order[qws == W]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
-        peq, rq = _pad_peq_q(peq, q_shards)
+        peq, rq = _pad_peq_interleave_q(peq, q_shards)
         m_pad = int(W) * 32
-        tiles_dev, slab, lp = _sharded_tiles(rd, n_shards, m_pad)
+        tiles_dev, starts, _, lp = _sharded_tiles(
+            rd, n_shards, m_pad,
+            weights=np.bincount(refpos, minlength=rd.tot_units))
         qrow = row2local[juni[sel]]
-        qs = qrow // rq
-        ds = refpos[sel] // slab
+        qs = qrow % q_shards
+        ds = np.searchsorted(starts, refpos[sel], side="right") - 1
         shard = qs * n_shards + ds
-        tloc = refpos[sel] % slab
+        tloc = refpos[sel] - starts[ds]
         counts = np.bincount(shard, minlength=q_shards * n_shards)
         pmax = max(int(counts.max()), 1)
         pidx_m = np.zeros((q_shards, n_shards, pmax), np.int32)
@@ -251,7 +305,7 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
         off = np.concatenate(([0], np.cumsum(counts)[:-1]))
         pos_in_shard = np.empty(len(sel), np.int64)
         pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
-        pidx_m[qs, ds, pos_in_shard] = (qrow % rq).astype(np.int32)
+        pidx_m[qs, ds, pos_in_shard] = (qrow // q_shards).astype(np.int32)
         tloc_m[qs, ds, pos_in_shard] = tloc.astype(np.int32)
         qlen_m[qs, ds, pos_in_shard] = qlens_all[juni[sel]].astype(np.int32)
         bnd_m[qs, ds, pos_in_shard] = bound[sel].astype(np.int32)

@@ -64,3 +64,30 @@ def test_best_mode_rc(smallset):
 
 def test_capitalist_mode_notax(smallset):
     _compare(*smallset, "CAPITALIST")
+
+
+def test_any_mode_rc_inline_order(smallset):
+    """Direct-path ANY prints in the reference's -t 1 inline scan order
+    (clump asc, lexicographic unibin rank asc -- fwd and RC rows
+    interleaved by the re-sort at burst.c:3178-3181; first qualifying
+    lane within the clump). A homologous-family DB makes queries
+    qualify in several clumps, so the event-order rules actually bite."""
+    d, _, _ = smallset
+    rng = np.random.default_rng(4242)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    refs = []
+    for f in range(5):
+        anc = rng.choice(bases, 420)
+        for m in range(5):
+            r = anc.copy()
+            pos = rng.integers(0, 420, 5)
+            r[pos] = bases[rng.integers(0, 4, 5)]
+            refs.append((f"fam{f}m{m}", r.tobytes().decode()))
+    reads = golden.make_reads(rng, refs, 150, read_len=100, max_err=2,
+                              rc_frac=0.4, prefix="aread")
+    rfa = str(d / "any_refs.fa")
+    qfa = str(d / "any_reads.fa")
+    golden.write_fasta(rfa, refs)
+    golden.write_fasta(qfa, reads)
+    _compare(d, rfa, qfa, "ANY", extra=("-fr",))
+    _compare(d, rfa, qfa, "ANY")

@@ -116,3 +116,26 @@ def test_myers_host_xalpha():
     np.testing.assert_array_equal(got_c, ref)
     got_np = host.myers_pairs_np(peq, tiles, pidx, tidx, W)
     np.testing.assert_array_equal(got_np, ref)
+
+
+def test_em_swap_native_vs_python():
+    """Native -cr EM swap descent == the Python executable spec."""
+    import os
+
+    import burst_tpu.native as N
+    from burst_tpu.fingerprint import em_refine
+
+    rng = np.random.default_rng(17)
+    tot_r = 320
+    p = (rng.integers(0, 256, (tot_r, 32))
+         & rng.integers(0, 256, (tot_r, 32))).astype(np.uint8)
+    ix = np.arange(tot_r)
+    os.environ["BURST_TPU_NO_NATIVE"] = "1"
+    N._HOST_TRIED, N._HOST = False, None
+    try:
+        a = em_refine(p, ix.copy(), tot_r, 4)
+    finally:
+        del os.environ["BURST_TPU_NO_NATIVE"]
+        N._HOST_TRIED, N._HOST = False, None
+    b = em_refine(p, ix.copy(), tot_r, 4)
+    np.testing.assert_array_equal(a, b)

@@ -105,7 +105,12 @@ def gen_reads(rng, refs, n):
 # so a checkpoint costs only the RAM-resident part of rd/acc.
 
 def _stage_path():
-    return os.path.join(STAGE_DIR, f"bigdb_{GBP}_{K}.pkl")
+    # every generation parameter is part of the key: resuming with a
+    # changed BIGDB_READS/etc must rebuild, not silently reuse a stale
+    # read set while reporting the new N_READS in reads/s
+    return os.path.join(
+        STAGE_DIR,
+        f"bigdb_{GBP}_{K}_{N_READS}_{N_MEM}_{PAR_LEN}_{DIVERGENCE}.pkl")
 
 
 def _save_stage(tag, rd, acc, qheads, reads):
@@ -138,15 +143,42 @@ def _load_stage():
     if not os.path.exists(path):
         return None
     t0 = time.perf_counter()
-    with open(path, "rb") as f:
-        tag, rd, acc, qheads, reads = pickle.load(f)
-    for csr in (acc.csr, acc.u_csr):
-        if (csr is not None and isinstance(csr.ids, tuple)
-                and csr.ids[0] == "__mmap__"):
-            csr.ids = np.memmap(csr.ids[1], dtype=np.uint32,
-                                mode="r+", shape=(csr.ids[2],))
+    try:
+        with open(path, "rb") as f:
+            tag, rd, acc, qheads, reads = pickle.load(f)
+        for csr in (acc.csr, acc.u_csr):
+            if (csr is not None and isinstance(csr.ids, tuple)
+                    and csr.ids[0] == "__mmap__"):
+                _, mpath, mlen = csr.ids
+                if not os.path.exists(mpath) or \
+                        os.path.getsize(mpath) < 4 * mlen:
+                    raise FileNotFoundError(
+                        f"postings memmap gone/truncated: {mpath}")
+                csr.ids = np.memmap(mpath, dtype=np.uint32,
+                                    mode="r+", shape=(mlen,))
+    except Exception as e:
+        # /tmp cleanup or a partial write: drop the stale stage and
+        # rebuild from scratch instead of crashing the resume
+        print(f"[bigdb] stage load failed ({e}); rebuilding",
+              file=sys.stderr)
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return None
     _t(f"stage '{tag}' loaded", t0)
     return tag, rd, acc, qheads, reads
+
+
+def _prune_mmaps():
+    """Fresh build: clear postings memmaps from prior generations
+    (BURST_TPU_IDS_MMAP_KEEP files are tens of GB and mkstemp-named;
+    without pruning, every rebuild leaks one)."""
+    for fn in os.listdir(MMAP_DIR):
+        try:
+            os.remove(os.path.join(MMAP_DIR, fn))
+        except OSError:
+            pass
 
 
 def main():
@@ -161,6 +193,7 @@ def main():
 
     st = _load_stage()
     if st is None:
+        _prune_mmaps()
         rng = np.random.default_rng(20260819)
         t0 = time.perf_counter()
         rheads, refs = gen_db(rng)
