@@ -278,7 +278,10 @@ def main():
               file=sys.stderr)
     else:
         _wait_for_device(deadline)
-        devtime.probe(60)   # marks the backend dead if it hangs now
+        # in-process backend init + first compile over the tunnel can
+        # take minutes even in a healthy window (30-50s RTTs); a tight
+        # probe here would needlessly condemn the run to the host path
+        devtime.probe(float(os.environ.get("BENCH_PROBE_S", "300")))
 
     def _path():
         return "device" if devtime.device_ok() else "host"
@@ -307,6 +310,28 @@ def main():
           f"{device_s:.1f}s device-blocked over {acc_t['n']} fetches",
           file=sys.stderr)
 
+    # On a sick tunnel the per-chunk dispatch round trips can make the
+    # device path SLOWER than the pure-host kernels; serve the batch
+    # both ways once and keep the faster mode for the record (the
+    # path field reports which one won).
+    if devtime.device_ok() and \
+            N_READS / dt1 < 0.9 * n_sub / max(dt_sub, 1e-9) and \
+            deadline - time.time() > 2 * dt1 + 120:
+        os.environ["BURST_TPU_HOST"] = "1"
+        try:
+            run_pipeline(qheads, reads, al)          # warm host shapes
+            t0 = time.perf_counter()
+            run_pipeline(qheads, reads, al)
+            dth = time.perf_counter() - t0
+        finally:
+            os.environ["BURST_TPU_HOST"] = "0"
+        print(f"[bench] host full pass {dth:.1f}s vs device {dt1:.1f}s",
+              file=sys.stderr)
+        if dth < dt1:
+            os.environ["BURST_TPU_HOST"] = "1"
+            dt1 = dth
+            device_s, mfu = 0.0, 0.0
+
     # refinement passes, scheduled only while the budget allows:
     # a pipelined 4-batch stream (one batch's host work overlaps
     # another's device scans), then sequential repeats; best wins --
@@ -331,6 +356,34 @@ def main():
     _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu,
           path=_path())
     return 0
+
+
+def _cache_entries():
+    """Compile-cache entry count: remote (tunneled) XLA compiles leave
+    the child CPU idle for minutes, but every finished compile writes a
+    cache entry -- growth is progress the CPU watchdog can't see."""
+    cache = os.environ.get("BURST_TPU_COMPILE_CACHE", "1")
+    if cache in ("1", "on"):
+        cache = os.path.expanduser("~/.cache/burst_tpu_xla")
+    try:
+        return len(os.listdir(cache))
+    except OSError:
+        return 0
+
+
+def _net_bytes():
+    """Total rx+tx across interfaces: device-state uploads to a
+    tunneled TPU produce neither child CPU nor compile-cache growth
+    for minutes at a time, but they do move bytes."""
+    try:
+        tot = 0
+        with open("/proc/net/dev") as f:
+            for line in f.readlines()[2:]:
+                parts = line.split()
+                tot += int(parts[1]) + int(parts[9])
+        return tot
+    except Exception:
+        return 0
 
 
 def _cpu_s(pid: int):
@@ -384,6 +437,8 @@ def _supervise():
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env)
         last_cpu, last_adv, wedged = -1.0, time.time(), False
+        last_cc = _cache_entries()
+        last_nb = _net_bytes()
         while True:
             try:
                 rc = child.wait(timeout=15)
@@ -394,6 +449,12 @@ def _supervise():
             cpu = _cpu_s(child.pid)
             if cpu is not None and cpu > last_cpu + 0.5:
                 last_cpu, last_adv = cpu, now
+            cc = _cache_entries()
+            if cc != last_cc:           # remote compile finished
+                last_cc, last_adv = cc, now
+            nb = _net_bytes()
+            if nb > last_nb + (1 << 21):   # >2MB moved: upload alive
+                last_nb, last_adv = nb, now
             if now > deadline or now - last_adv > wedge_s:
                 wedged = now - last_adv > wedge_s and now <= deadline
                 if wedged:

@@ -13,13 +13,16 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 ).strip()
 
-# No persistent XLA compile cache under pytest: CPU compiles are cheap,
-# and jaxlib's cache reader segfaults (zstd decompress of a partial
-# entry) if any cache file is truncated -- one bad entry would take
-# down the whole suite. The CLI/bench keep the cache (TPU compiles are
-# expensive) behind a segfault-clearing supervisor (bench._supervise).
-os.environ["BURST_TPU_NO_CACHE"] = "1"
-os.environ["BURST_TPU_COMPILE_CACHE"] = "0"
+# The suite's own XLA compile cache lives apart from the production
+# one: the round-4 segfault bisect showed jaxlib's CPU compiler (and
+# its cache reader) faulting on one slab-path compile once enough
+# prior compiles accumulate in a process -- that compile now runs in
+# subprocesses (test_slab_stream), and a dedicated cache dir keeps
+# suite churn from ever poisoning the production cache.
+os.environ.setdefault("BURST_TPU_COMPILE_CACHE",
+                      os.path.expanduser("~/.cache/burst_tpu_xla_test"))
+os.environ.setdefault("BURST_TPU_CACHE_DIR",
+                      os.path.expanduser("~/.cache/burst_tpu_xla_test"))
 
 import jax  # noqa: E402
 

@@ -204,6 +204,7 @@ def _cmp12(d, qfa, oedx, oacx, mode, extra=(), tag=""):
     assert diff is None, diff
 
 
+@pytest.mark.full
 def test_heuristic_flag(accelflags):
     """-hr keeps low-id queries on the accelerator and raises the
     pigeonhole floor (burst.c:3130, 4093-4094)."""

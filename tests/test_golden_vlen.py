@@ -30,6 +30,7 @@ def data(tmp_path_factory):
     return d, rfa, qfa
 
 
+@pytest.mark.full
 def test_vlen_direct_modes(data):
     d, rfa, qfa = data
     for mode, extra in (("BEST", []), ("ALLPATHS", [])):
@@ -41,6 +42,7 @@ def test_vlen_direct_modes(data):
         assert golden.diff_files(r, m) is None, mode
 
 
+@pytest.mark.full
 def test_vlen_accel(data):
     d, rfa, qfa = data
     os.environ["BURST_TPU_SCOUR_N"] = "12"

@@ -8,6 +8,8 @@ are the device-stall fallback path (devtime fetch timeouts) and the
 BURST_TPU_HOST=1 pure-CPU mode, so any divergence silently breaks the
 byte-identity guarantee under fallback.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -16,6 +18,8 @@ from burst_tpu.kernels import host, myers
 from burst_tpu.kernels.rescore import (rescore_finalize,
                                        rescore_pairs_gather_async)
 from burst_tpu.native import myers_pairs_native, rescore_pairs_native
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _mk(seed, NQ=13, NT=9, B=64, W=2, lb=128, ambig=True):
@@ -53,10 +57,17 @@ def test_myers_host_vs_jax(seed, W, lb):
     np.testing.assert_array_equal(got_c, ref)
 
 
-@pytest.mark.parametrize("seed,W,lb,win", [
-    (11, 1, 64, False), (12, 2, 128, False), (13, 4, 320, False),
-    (14, 2, 192, True), (15, 4, 320, True)])
-def test_rescore_host_vs_jax(seed, W, lb, win):
+def _rescore_case(seed, W, lb, win):
+    """One rescore fuzz case: jax reference vs numpy vs native C++.
+
+    Called in a SUBPROCESS by test_rescore_host_vs_jax: these
+    particular jax rescore compiles (64-pair batches, int64 gather
+    indices -- shapes the engine never uses) leave XLA CPU in a state
+    where an unrelated compile ~50 tests later segfaults inside
+    backend_compile_and_load (jaxlib bug, bisected in round 4; the
+    suite is green with these cases isolated). Subprocess isolation
+    costs ~10s/case and keeps the coverage.
+    """
     smat, peq, qlens, tiles, pidx, tidx = _mk(seed, W=W, lb=lb)
     rng = np.random.default_rng(seed + 100)
     B = len(pidx)
@@ -89,6 +100,24 @@ def test_rescore_host_vs_jax(seed, W, lb, win):
     assert got_c is not None
     np.testing.assert_array_equal(got_c[0], ref[0])
     np.testing.assert_array_equal(got_c[:, live], ref[:, live])
+
+
+@pytest.mark.parametrize("seed,W,lb,win", [
+    (11, 1, 64, False), (12, 2, 128, False), (13, 4, 320, False),
+    (14, 2, 192, True), (15, 4, 320, True)])
+def test_rescore_host_vs_jax(seed, W, lb, win):
+    """Subprocess-isolated (see _rescore_case docstring)."""
+    import subprocess
+    import sys
+
+    code = (f"import sys; sys.path.insert(0, {repr(_REPO)}); "
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from tests.test_host_kernels import _rescore_case; "
+            f"_rescore_case({seed}, {W}, {lb}, {win}); print('CASE_OK')")
+    r = subprocess.run([sys.executable, "-c", code], timeout=300,
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "CASE_OK" in r.stdout, \
+        r.stdout + r.stderr
 
 
 def test_myers_host_xalpha():

@@ -86,8 +86,13 @@ def test_stall_fallback_byte_identical(monkeypatch, _clean_devtime):
     real_get = devtime._get
 
     def hung_get(tree):
+        # simulate a dead tunnel: block past the timeout WITHOUT ever
+        # touching jax -- the abandoned worker thread must not issue a
+        # concurrent device_get while later tests compile (XLA CPU in
+        # this jaxlib corrupts state under that interleaving; bisected
+        # in round 4 as the delayed test-170 segfault)
         time.sleep(30)
-        return real_get(tree)
+        return None
 
     monkeypatch.setattr(devtime, "_get", hung_get)
     monkeypatch.setenv("BURST_TPU_FETCH_TIMEOUT_S", "0.3")

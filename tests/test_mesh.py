@@ -1,4 +1,5 @@
 """Sharded phase-A scan must equal the single-device matrix bit-for-bit."""
+import pytest
 import numpy as np
 
 import jax
@@ -29,6 +30,7 @@ def test_eight_device_mesh_available():
     assert len(jax.devices()) >= 8
 
 
+@pytest.mark.full
 def test_sharded_matches_single_device():
     qd, rd = _dataset()
     sm = score_matrix()
@@ -102,6 +104,7 @@ def test_2d_mesh_accel_production_helpers():
     assert single == run(2, 4)
 
 
+@pytest.mark.full
 def test_sharded_accel_path_bit_identical(tmp_path):
     """Full accel pipeline with --shards N must produce the same b6
     bytes as the single-device path (db-sharded phase A + phase B)."""

@@ -3,6 +3,7 @@ simulated with EXACTLY e substitution errors (tools/bin/llsim, the
 reference's de-facto correctness fixture) must report edit distance
 <= e in BEST mode -- an optimal aligner can never do worse than the
 planted alignment."""
+import pytest
 import os
 import subprocess
 
@@ -14,6 +15,7 @@ TOOLS_BIN = os.path.join(os.path.dirname(__file__), "..", "tools",
                          "bin")
 
 
+@pytest.mark.full
 def test_best_ed_bounded_by_planted_errors(tmp_path):
     res = subprocess.run(["make", "-C",
                           os.path.join(TOOLS_BIN, "..")],

@@ -327,7 +327,8 @@ def test_device_scour_fuzz(seed):
 
 # ------------------------------------------------ QBUNCH > 1 device path
 
-@pytest.mark.parametrize("qbunch", [4, 16])
+@pytest.mark.parametrize("qbunch", [
+    4, pytest.param(16, marks=pytest.mark.full)])
 def test_device_scour_qbunch_matches_native(qbunch):
     """QBUNCH>1 (reference-default CLI regime, burst.c:4019-4021): the
     two-dispatch device bunch scour reproduces the native bunch walk --
@@ -370,6 +371,7 @@ def test_device_scour_qbunch_overflow(env, val, monkeypatch):
 
 
 @pytest.mark.parametrize("seed", [404, 505])
+@pytest.mark.full
 def test_device_scour_qbunch_fuzz(seed):
     rng = np.random.default_rng(seed)
     qbunch = int(rng.integers(2, 17))
@@ -383,7 +385,9 @@ def test_device_scour_qbunch_fuzz(seed):
     _assert_visits_equal(ref, got)
 
 
-@pytest.mark.parametrize("mode", ["BEST", "ALLPATHS", "CAPITALIST"])
+@pytest.mark.parametrize("mode", [
+    "BEST", pytest.param("ALLPATHS", marks=pytest.mark.full),
+    pytest.param("CAPITALIST", marks=pytest.mark.full)])
 def test_device_scour_qbunch_end_to_end_b6(mode):
     """Pipeline bytes identical under host and device scour at the
     reference-default bunch width."""
