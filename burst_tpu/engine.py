@@ -247,6 +247,20 @@ def _myers_pairs_dispatch(peq_dev, tiles_dev, pidx, tidx, W: int):
                                          tidx, int(W))
 
 
+def _myers_pairs_dispatch_packed(peq_dev, tiles_packed, Lp: int,
+                                 pidx, tidx, W: int):
+    """As _myers_pairs_dispatch, over the nibble-packed tile store
+    (Lp = logical unpacked width)."""
+    from .kernels.rescore import _use_pallas
+    if _use_pallas() and len(pidx) % 1024 == 0 and W <= 8 and \
+            peq_dev.shape[1] == 16 and Lp <= 1536:
+        from .kernels.myers_pallas import myers_pairs_pallas_packed
+        return myers_pairs_pallas_packed(peq_dev, tiles_packed, pidx,
+                                         tidx, int(W))
+    return myers.myers_min_ed_gather_pos_packed(peq_dev, tiles_packed,
+                                                pidx, tidx, int(W))
+
+
 def _myers_host_closure(peq_h, tiles_h, pidx, tidx, W: int, n: int):
     """Host recompute closure for one deferred phase-A chunk (invoked
     by devtime.fetch on a device stall; see kernels/host.py). Captures
@@ -1583,11 +1597,13 @@ _TILES_ALL_LOCK = __import__("threading").Lock()
 
 
 def _tiles_device_all(rd: RefData, pad: int = 32):
-    """Device tile matrix over ALL units: row = sorted position, width
-    = max unit length bucket + pad (cached; locked against streaming
-    worker threads racing the first build). Shorter units get trailing
-    pad columns, which never lower a glocal minimum -- the per-bucket
-    matrices already rely on this within a bucket."""
+    """NIBBLE-PACKED device tile matrix over ALL units: row = sorted
+    position, logical width = max unit length bucket + pad, stored 2
+    codes/byte (the reference's own clump layout, burst.c:2810-2824)
+    -- half the HBM footprint and half the upload; consumers unpack
+    gathered rows in-jit (kernels.myers.unpack_nibbles). Returns
+    (packed device array, logical width). Cached; locked against
+    streaming worker threads racing the first build."""
     import jax.numpy as jnp
     got = getattr(rd, "_tilealldev", None)
     if got is not None:
@@ -1598,11 +1614,13 @@ def _tiles_device_all(rd: RefData, pad: int = 32):
             return got
         lbmax = int(_unit_lb(rd).max()) if rd.tot_units else 64
         npad = _pow2_ceil(max(1, rd.tot_units))
-        mat = np.zeros((npad, lbmax + pad), dtype=np.uint8)
+        width = -(-(lbmax + pad) // 2) * 2
+        mat = np.zeros((npad, width), dtype=np.uint8)
         # chunked native memcpy (the per-row Python loop costs minutes
         # at production unit counts; see _fill_rows)
         _fill_rows(mat, rd, np.arange(rd.tot_units, dtype=np.int64))
-        got = rd._tilealldev = jnp.asarray(mat)
+        got = rd._tilealldev = (jnp.asarray(myers.pack_nibbles_np(mat)),
+                                width)
     return got
 
 
@@ -1669,15 +1687,15 @@ def accel_scan_fused(qd: QueryData, rd: RefData, acc,
     mm_inner = np.where(kload < lns, lns - kload, 1)
     aq_off, aqw, aqm, _ = _ambig_word_lists(qd, b0, k, acc.z)
     lbmax = int(_unit_lb(rd).max()) if tot_units else 64
-    if _pow2_ceil(max(1, tot_units)) * (lbmax + 32) > \
+    if _pow2_ceil(max(1, tot_units)) * (-(-(lbmax + 32) // 2)) > \
             _tile_budget_bytes():
         return None  # DB over the HBM budget: two-step path streams
     smat_dev = _smat_device(rd, smat)
-    tiles_dev = _tiles_device_all(rd)
+    tiles_packed, lp_all = _tiles_device_all(rd)
     out = _scour_device_rows(
         qd, rd, acc, b0, b1, 1, k, mm_bunch, mm_inner, qmat, qlens_all,
         aq_off, aqw, aqm, n_clumps,
-        fused_ctx=(smat, smat_dev, tiles_dev, W))
+        fused_ctx=(smat, smat_dev, (tiles_packed, lp_all), W))
     if out is None:
         return None
     res, pinfo = out

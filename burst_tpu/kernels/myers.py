@@ -262,6 +262,33 @@ def myers_min_ed_gather(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
     return myers_min_ed(peq, tiles, W)
 
 
+def unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
+    """[n, Lh] 2-codes-per-byte rows -> [n, 2*Lh] codes (low nibble =
+    even column). The DB tile store keeps nibbles (the reference's own
+    clump layout, burst.c:2810-2824): half the HBM footprint and half
+    the host->device transfer; unpacking is a few vreg ops."""
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=2).reshape(packed.shape[0], -1)
+
+
+def pack_nibbles_np(mat: np.ndarray) -> np.ndarray:
+    """Host-side inverse of unpack_nibbles (pads odd widths)."""
+    if mat.shape[1] % 2:
+        mat = np.concatenate(
+            [mat, np.zeros((mat.shape[0], 1), np.uint8)], axis=1)
+    return (mat[:, 0::2] | (mat[:, 1::2] << 4)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def myers_min_ed_gather_pos_packed(peq_all, tiles_packed, pidx, tidx,
+                                   W: int):
+    """myers_min_ed_gather_pos over a nibble-packed tile store."""
+    peq = jnp.take(peq_all, pidx, axis=0)
+    tiles = unpack_nibbles(jnp.take(tiles_packed, tidx, axis=0))
+    return _pos_scan(peq, tiles, W)
+
+
 @functools.partial(jax.jit, static_argnames=("W",))
 def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
                             pidx: jnp.ndarray, tidx: jnp.ndarray, W: int):
@@ -274,6 +301,10 @@ def myers_min_ed_gather_pos(peq_all: jnp.ndarray, tiles_all: jnp.ndarray,
     the windowed rescore."""
     peq = jnp.take(peq_all, pidx, axis=0)
     tiles = jnp.take(tiles_all, tidx, axis=0)
+    return _pos_scan(peq, tiles, W)
+
+
+def _pos_scan(peq, tiles, W: int):
     B = peq.shape[0]
     peq_t = jnp.transpose(peq, (1, 2, 0))
     cols = tiles.T.astype(jnp.int32)

@@ -172,19 +172,34 @@ def _make_pair_kernel(W: int, Lp: int):
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
+def myers_pairs_pallas_packed(peq_all, tiles_packed, pidx, tidx,
+                              W: int):
+    """myers_pairs_pallas over a nibble-packed tile store: the XLA
+    prologue gathers packed rows (half the HBM read) and unpacks them
+    before the [Lp, 8, 128] transpose; the kernel is unchanged."""
+    from .myers import unpack_nibbles
+    tiles = unpack_nibbles(jnp.take(tiles_packed, tidx, axis=0))
+    return _pairs_from_gathered(peq_all, tiles, pidx, W)
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
 def myers_pairs_pallas(peq_all, tiles_all, pidx, tidx, W: int):
     """Packed [3, B] (ed, first, last) for B gathered pairs.
 
     B must be a multiple of 1024. Gathers and the [Lp, 8, 128]
     transposes run as XLA ops feeding the kernel."""
+    tiles = jnp.take(tiles_all, tidx, axis=0)              # [B, Lp]
+    return _pairs_from_gathered(peq_all, tiles, pidx, W)
+
+
+def _pairs_from_gathered(peq_all, tiles, pidx, W: int):
     B = pidx.shape[0]
-    Lp = tiles_all.shape[1]
+    Lp = tiles.shape[1]
     peq = jnp.take(peq_all, pidx, axis=0)                  # [B,16,W]
     peq_r = jnp.transpose(peq.reshape(B // TLAN, TLAN, 16 * W),
                           (0, 2, 1))                       # [r,16W,128]
     peq_r = peq_r.reshape(B // (QSUB * TLAN), QSUB, 16 * W, TLAN)
     peq_r = jnp.transpose(peq_r, (0, 2, 1, 3))             # [g,16W,8,128]
-    tiles = jnp.take(tiles_all, tidx, axis=0)              # [B, Lp]
     t_r = jnp.transpose(tiles.reshape(B // TLAN, TLAN, Lp), (0, 2, 1))
     t_r = t_r.reshape(B // (QSUB * TLAN), QSUB, Lp, TLAN)
     t_r = jnp.transpose(t_r, (0, 2, 1, 3)).astype(jnp.int32)  # [g,Lp,8,128]

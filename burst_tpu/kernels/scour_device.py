@@ -464,23 +464,24 @@ def _peq_pow2_jit(qmat_full, lens_full, smat_dev, W: int, POW2: int):
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("k", "E", "CAPC", "CAPU", "n_clumps", "tot_units",
-                     "W"))
+                     "W", "Lp"))
 def _scour_align_jit(qmat_full, lens_full, mm_m_full, mm_i_full,
                      off, rank, nzw, start, cnt, ids, smat_dev,
-                     tiles_dev,
+                     tiles_packed,
                      k: int, E: int, CAPC: int, CAPU: int,
-                     n_clumps: int, tot_units: int, W: int):
+                     n_clumps: int, tot_units: int, W: int, Lp: int):
     """Fused scour + phase-A Myers: winners go straight into the pair
     kernel on device; one fetch returns candidates, unit winners, and
     their packed (ed, first, last) results. The chunk slices out of the
     whole-batch arrays on device (one upload, one compile per padded
-    batch shape). tiles_dev holds ALL units (row == sorted position)
-    padded to one common width -- trailing pad columns never lower the
-    glocal minimum, so per-pair min EDs equal the per-bucket scans'."""
+    batch shape). tiles_packed holds ALL units (row == sorted
+    position) nibble-packed to logical width Lp -- trailing pad
+    columns never lower the glocal minimum, so per-pair min EDs equal
+    the per-bucket scans'."""
     import jax
     import jax.numpy as jnp
 
-    from ..engine import _myers_pairs_dispatch
+    from ..engine import _myers_pairs_dispatch_packed
 
     C = CHUNK_ROWS
     qmat = _unpack_codes(
@@ -494,8 +495,9 @@ def _scour_align_jit(qmat_full, lens_full, mm_m_full, mm_i_full,
                        n_clumps, tot_units)
     peq = _build_peq_dev(qmat, lens, smat_dev, W)
     tidx = jnp.clip(uu, 0, tot_units - 1)
-    packed = _myers_pairs_dispatch(peq, tiles_dev, uj, tidx, W)
-    if tiles_dev.shape[1] < 2047:
+    packed = _myers_pairs_dispatch_packed(peq, tiles_packed, Lp, uj,
+                                          tidx, W)
+    if Lp < 2047:
         # (ed, first, last) fit 8+11+11 bits: one fetch word per pair
         pk = (jnp.minimum(packed[0], 255) << 22) | \
             (packed[1] << 11) | packed[2]
@@ -601,12 +603,12 @@ def _chunk_dispatch(qmat, lens, k, mm_member, mm_inner, tabs,
                 CAPC=capc, CAPU=capu, n_clumps=n_clumps,
                 tot_units=tot_units)
         else:
-            smat_dev, tiles_dev, W = align_ctx
+            smat_dev, (tiles_packed, Lp), W = align_ctx
             res = _scour_align_jit(
                 qp_d, lp_d, mmm_d, mmi_d, jnp.int32(c0), tabs.rank,
                 tabs.nzw, tabs.start, tabs.cnt, tabs.ids, smat_dev,
-                tiles_dev, k=k, E=E, CAPC=capc, CAPU=capu,
-                n_clumps=n_clumps, tot_units=tot_units, W=W)
+                tiles_packed, k=k, E=E, CAPC=capc, CAPU=capu,
+                n_clumps=n_clumps, tot_units=tot_units, W=W, Lp=Lp)
         out.append((c0, nr, res))
     return out, qp_d, lp_d
 

@@ -67,6 +67,17 @@ def main() -> int:
         ok = np.array_equal(ref, got)
         fails += not ok
         print(f"pairs B{B} Lp{Lp} W{W}: {'OK' if ok else 'FAIL'}")
+        # nibble-packed tile store (fused path layout)
+        from burst_tpu.kernels.myers_pallas import \
+            myers_pairs_pallas_packed
+        packed = myers.pack_nibbles_np(tiles)
+        gotp = np.asarray(myers_pairs_pallas_packed(
+            jnp.asarray(peq), jnp.asarray(packed), jnp.asarray(pidx),
+            jnp.asarray(tidx), W))
+        okp = np.array_equal(ref, gotp)
+        fails += not okp
+        print(f"pairs-packed B{B} Lp{Lp} W{W}: "
+              f"{'OK' if okp else 'FAIL'}")
 
     print("ALL OK" if not fails else f"{fails} FAILURES")
     return 1 if fails else 0
