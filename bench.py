@@ -413,9 +413,11 @@ def _supervise():
     probes) stops advancing for BENCH_WEDGE_S (default 420s, above the
     _wait_for_device cap) it is blocked on a dead tunnel socket, not
     computing. Wedge kills always retry while >8 minutes remain, and
-    the retries ESCALATE: attempt 2 forces the host scour
-    (BURST_TPU_DEV_SCOUR=0), attempt 3+ forces the all-host path
-    (BENCH_FORCE_HOST=1, which cannot wedge). Plain failures retry
+    the retries ESCALATE: attempt 2 retries the same configuration
+    (one dropped stream should not forfeit the fused path), attempt 3
+    forces the host scour (BURST_TPU_DEV_SCOUR=0), attempt 4+ forces
+    the all-host path (BENCH_FORCE_HOST=1, which cannot wedge). Plain
+    failures retry
     only while attempts (BENCH_ATTEMPTS, default 1) remain. The child
     inherits stdout so the JSON metric lines land where the driver
     reads them.
@@ -430,9 +432,12 @@ def _supervise():
     rc, i = 1, 0
     while True:
         i += 1
-        if i == 2:
+        # attempt 2 retries the same (fused) configuration -- a wedge
+        # is usually one dropped tunnel stream, and the stage caches
+        # make the retry cheap; only then downgrade
+        if i == 3:
             env["BURST_TPU_DEV_SCOUR"] = "0"
-        elif i >= 3:
+        elif i >= 4:
             env["BENCH_FORCE_HOST"] = "1"
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env)
