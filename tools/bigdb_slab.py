@@ -218,6 +218,20 @@ def main():
         st = ("built", rd, acc, qheads, reads)
 
     tag, rd, acc, qheads, reads = st
+    # prune memmaps the loaded stage does not reference: a kill during
+    # the unit-index build orphans a 50+ GB postings file, and a
+    # resume would otherwise write a second one beside it
+    keep = set()
+    for csr in (acc.csr, acc.u_csr):
+        if csr is not None and isinstance(csr.ids, np.memmap) \
+                and csr.ids.filename:
+            keep.add(os.path.basename(csr.ids.filename))
+    for fn in os.listdir(MMAP_DIR):
+        if fn not in keep:
+            try:
+                os.remove(os.path.join(MMAP_DIR, fn))
+            except OSError:
+                pass
     if tag == "built":
         t0 = time.perf_counter()
         build_unit_index(rd, acc)
