@@ -14,12 +14,15 @@ excluded, exactly as in the reference's reported reads/s; query parsing
 through b6 emission is included.
 
 Prints JSON metric lines {"metric", "value", "unit", "vs_baseline",
-"device_s", "mfu", ...}: a PROVISIONAL line from a small all-host
-subset pass BEFORE any device is touched (pure CPU -- cannot wedge, so
-a parsed metric exists no matter what the device tunnel does), another
-PROVISIONAL right after the first measured full pass, then the refined
-final line -- consumers take the LAST line. baseline = the reference's
->10,000 reads/s/chip figure (BASELINE.md).
+"device_s", "mfu", ...}; consumers take the LAST line. Stage order is
+floor-first: (1) a PROVISIONAL line from a small all-host subset pass,
+(2) the FULL-size pure-host pass -> the first NON-provisional line (pure
+CPU -- cannot wedge, so a real measured metric exists no matter what the
+device tunnel does), (3) device-path passes as upgrades, emitted only
+when they beat the host floor. Every line is also appended to a side
+file; the supervisor re-emits the best line at exit, so a device attempt
+killed as wedged can never leave a worse line last. baseline = the
+reference's >10,000 reads/s/chip figure (BASELINE.md).
 
 Stall story (this ate the round-2/3 budgets): every engine fetch now
 carries a host-recompute fallback (burst_tpu/devtime.py watchdog + the
@@ -157,6 +160,10 @@ def _pair_stats(qd, rd, acc, smat):
     return len(pj), cells
 
 
+def _side_path():
+    return os.environ.get("BENCH_SIDE", "/tmp/burst_bench_lines.jsonl")
+
+
 def _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu,
           provisional=False, path="device"):
     rec = {
@@ -174,6 +181,31 @@ def _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu,
     if provisional:
         rec["provisional"] = True
     print(json.dumps(rec), flush=True)
+    try:        # side channel for the supervisor's best-line re-emit
+        with open(_side_path(), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
+
+
+def _best_side_line():
+    """Best metric recorded so far: non-provisional lines beat
+    provisional ones, then higher value wins. None if no side file."""
+    best = None
+    try:
+        with open(_side_path()) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                key = (not rec.get("provisional"), rec.get("value", 0))
+                if best is None or key > (not best.get("provisional"),
+                                          best.get("value", 0)):
+                    best = rec
+    except OSError:
+        pass
+    return best
 
 
 def main():
@@ -249,21 +281,24 @@ def main():
           f"({n_pairs/N_READS:.1f} pairs/read, budget "
           f"{deadline-time.time():.0f}s left)", file=sys.stderr)
 
+    # A user-preset BURST_TPU_HOST=1 means "never touch the device"
+    # (same as BENCH_FORCE_HOST): honor it for the whole run instead of
+    # silently re-enabling the device path mid-bench.
+    host_forced = bool(os.environ.get("BENCH_FORCE_HOST")) or \
+        os.environ.get("BURST_TPU_HOST") == "1"
+
     # ---- stage 1: all-host subset pass -> guaranteed PROVISIONAL ----
     # Pure CPU (BURST_TPU_HOST=1 routes every dispatch site to the
     # native host kernels; no device client is ever initialized), so
     # this stage cannot wedge regardless of tunnel state.
     n_sub = min(int(os.environ.get("BENCH_SUBSET", "2000")), N_READS)
     os.environ["BURST_TPU_HOST"] = "1"
-    try:
-        sh = qheads[:n_sub]
-        ss = [r.copy() for r in reads[:n_sub]]
-        al.align_batch(sh, [r.copy() for r in ss])   # warm host caches
-        t0 = time.perf_counter()
-        rows_sub = run_pipeline(sh, ss, al)
-        dt_sub = time.perf_counter() - t0
-    finally:
-        os.environ["BURST_TPU_HOST"] = "0"
+    sh = qheads[:n_sub]
+    ss = [r.copy() for r in reads[:n_sub]]
+    al.align_batch(sh, [r.copy() for r in ss])   # warm host caches
+    t0 = time.perf_counter()
+    rows_sub = run_pipeline(sh, ss, al)
+    dt_sub = time.perf_counter() - t0
     sub_cells = cells * n_sub / N_READS
     _emit(n_sub / dt_sub, db_bp, n_pairs, sub_cells / dt_sub / 1e9,
           rows_sub, 0.0, 0.0, provisional=True, path="host-subset")
@@ -271,23 +306,62 @@ def main():
           f"({n_sub/dt_sub:.0f} reads/s all-CPU), budget "
           f"{deadline-time.time():.0f}s left", file=sys.stderr)
 
-    # ---- stage 2: full-size passes, device if it is healthy ----
-    if os.environ.get("BENCH_FORCE_HOST"):
-        os.environ["BURST_TPU_HOST"] = "1"
-        print("[bench] BENCH_FORCE_HOST: all-host full run",
+    # ---- stage 2: FULL pure-host pass -> NON-provisional floor ----
+    # Still pure CPU, still cannot wedge: whatever the tunnel does for
+    # the rest of the run, a real full-size measured metric is already
+    # on the record. A prior attempt's floor (side file) is reused so
+    # wedge-retry children go straight to the device stage.
+    prior = _best_side_line()
+    floor_rps = 0.0
+    n_rows = rows_sub
+    if prior is not None and not prior.get("provisional"):
+        floor_rps = float(prior.get("value", 0.0))
+        print(f"[bench] prior attempt's floor on record "
+              f"({floor_rps:.0f} reads/s); skipping host full pass",
               file=sys.stderr)
     else:
-        _wait_for_device(deadline)
-        # in-process backend init + first compile over the tunnel can
-        # take minutes even in a healthy window (30-50s RTTs); a tight
-        # probe here would needlessly condemn the run to the host path
-        devtime.probe(float(os.environ.get("BENCH_PROBE_S", "300")))
+        run_pipeline(qheads, reads, al)       # warm full-size shapes
+        t0 = time.perf_counter()
+        n_rows = run_pipeline(qheads, reads, al)
+        dt_h = time.perf_counter() - t0
+        # one repeat if the budget is comfortable; best-of wins (a
+        # single-core host pass is noise-prone)
+        if deadline - time.time() > dt_h + 300:
+            t0 = time.perf_counter()
+            run_pipeline(qheads, reads, al)
+            dt_h = min(dt_h, time.perf_counter() - t0)
+        floor_rps = N_READS / dt_h
+        _emit(floor_rps, db_bp, n_pairs, cells / dt_h / 1e9, n_rows,
+              0.0, 0.0, path="host")
+        print(f"[bench] host full pass {dt_h:.1f}s "
+              f"({floor_rps:.0f} reads/s all-CPU), budget "
+              f"{deadline-time.time():.0f}s left", file=sys.stderr)
+    if host_forced:
+        os.environ["BURST_TPU_HOST"] = "1"
+        print("[bench] host-forced: skipping device stage",
+              file=sys.stderr)
+        return 0
+
+    # ---- stage 3: device-path passes, emitted only as upgrades ----
+    if deadline - time.time() < 240:
+        print("[bench] budget too thin for a device attempt; floor "
+              "stands", file=sys.stderr)
+        return 0
+    os.environ["BURST_TPU_HOST"] = "0"
+    _wait_for_device(deadline)
+    # in-process backend init + first compile over the tunnel can
+    # take minutes even in a healthy window (30-50s RTTs); a tight
+    # probe here would needlessly condemn the run to the host path
+    devtime.probe(float(os.environ.get("BENCH_PROBE_S", "300")))
+    if not devtime.device_ok():
+        print("[bench] device unhealthy; floor stands", file=sys.stderr)
+        return 0
 
     def _path():
         return "device" if devtime.device_ok() else "host"
 
-    # ONE warm-up pass: compiles all kernel shapes, builds device-side
-    # caches, faults in allocator pages (persisted .edx/.acx +
+    # ONE warm-up pass: compiles all kernel shapes, uploads device-side
+    # tables, faults in allocator pages (persisted .edx/.acx +
     # steady-state serving is the production mode)
     t0 = time.perf_counter()
     n_rows = run_pipeline(qheads, reads, al)
@@ -295,7 +369,9 @@ def main():
           f"{n_rows} b6 rows, {n_pairs/N_READS:.1f} pairs/read, "
           f"budget {deadline-time.time():.0f}s left", file=sys.stderr)
 
-    # measured pass 1, device-time tracked -> PROVISIONAL metric line
+    # measured device passes; the best wall time wins. A pipelined
+    # 4-batch stream (one batch's host work overlaps another's device
+    # scans) models steady-state serving and is usually the fastest.
     t0 = time.perf_counter()
     with devtime.track() as acc_t:
         run_pipeline(qheads, reads, al)
@@ -304,57 +380,31 @@ def main():
     mfu = cells * OPS_PER_CELL / max(device_s, 1e-9) / PEAK_U32_OPS
     if not devtime.device_ok():
         device_s, mfu = 0.0, 0.0
-    _emit(N_READS / dt1, db_bp, n_pairs, cells / dt1 / 1e9, n_rows,
-          device_s, mfu, provisional=True, path=_path())
     print(f"[bench] pass1 {dt1:.1f}s wall ({_path()}), "
           f"{device_s:.1f}s device-blocked over {acc_t['n']} fetches",
           file=sys.stderr)
-
-    # On a sick tunnel the per-chunk dispatch round trips can make the
-    # device path SLOWER than the pure-host kernels; serve the batch
-    # both ways once and keep the faster mode for the record (the
-    # path field reports which one won).
-    if devtime.device_ok() and \
-            N_READS / dt1 < 0.9 * n_sub / max(dt_sub, 1e-9) and \
-            deadline - time.time() > 2 * dt1 + 120:
-        os.environ["BURST_TPU_HOST"] = "1"
-        try:
-            run_pipeline(qheads, reads, al)          # warm host shapes
-            t0 = time.perf_counter()
-            run_pipeline(qheads, reads, al)
-            dth = time.perf_counter() - t0
-        finally:
-            os.environ["BURST_TPU_HOST"] = "0"
-        print(f"[bench] host full pass {dth:.1f}s vs device {dt1:.1f}s",
-              file=sys.stderr)
-        if dth < dt1:
-            os.environ["BURST_TPU_HOST"] = "1"
-            dt1 = dth
-            device_s, mfu = 0.0, 0.0
-
-    # refinement passes, scheduled only while the budget allows:
-    # a pipelined 4-batch stream (one batch's host work overlaps
-    # another's device scans), then sequential repeats; best wins --
-    # on a noisy single-CPU host any one variant can get unlucky.
     best = dt1
     if devtime.device_ok() and deadline - time.time() > 4 * dt1 + 120:
         t0 = time.perf_counter()
         for _ in al.align_stream([(qheads, reads)] * 4):
             pass
         best = min(best, (time.perf_counter() - t0) / 4)
-    while deadline - time.time() > best + 90:
+    while devtime.device_ok() and deadline - time.time() > best + 90:
         t0 = time.perf_counter()
         run_pipeline(qheads, reads, al)
         dt = time.perf_counter() - t0
+        if dt >= best * 0.95:
+            best = min(best, dt)
+            break                # stopped improving
         best = min(best, dt)
-        if dt < dt1 * 0.95:
-            dt1 = dt     # keep chasing only while still improving
-        else:
-            break
     reads_per_sec = N_READS / best
-    gcups = cells / best / 1e9
-    _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu,
-          path=_path())
+    if reads_per_sec > floor_rps and devtime.device_ok():
+        _emit(reads_per_sec, db_bp, n_pairs, cells / best / 1e9,
+              n_rows, device_s, mfu, path=_path())
+    else:
+        print(f"[bench] device path {reads_per_sec:.0f} reads/s did "
+              f"not beat the host floor {floor_rps:.0f}; floor stands",
+              file=sys.stderr)
     return 0
 
 
@@ -427,8 +477,23 @@ def _supervise():
     deadline = _deadline()
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "1"))
     wedge_s = float(os.environ.get("BENCH_WEDGE_S", "420"))
+    try:
+        os.unlink(_side_path())       # fresh record for this run
+    except OSError:
+        pass
     env = dict(os.environ, BENCH_CHILD="1",
                BENCH_DEADLINE_AT=repr(deadline))
+
+    def _finish(rc):
+        # The driver takes the LAST stdout line: make it the best
+        # metric any attempt recorded, so a killed device attempt (or
+        # a retry that skipped stages) can't leave a worse line last.
+        best = _best_side_line()
+        if best is not None:
+            print(json.dumps(best), flush=True)
+            return 0
+        return rc
+
     rc, i = 1, 0
     while True:
         i += 1
@@ -478,7 +543,7 @@ def _supervise():
                 rc = -1
                 break
         if rc == 0:
-            return 0
+            return _finish(0)
         if rc == -11:
             # segfault: the usual cause is a compile-cache entry
             # truncated by an earlier kill (jax's cache writes are not
@@ -494,9 +559,9 @@ def _supervise():
                       "compile cache and retrying", file=sys.stderr)
             wedged = True
         if deadline - time.time() < 480:
-            return rc
+            return _finish(rc)
         if not wedged and i >= attempts:
-            return rc
+            return _finish(rc)
         print(f"[bench] attempt {i} failed (rc={rc}); retrying in a "
               "fresh process", file=sys.stderr)
     return rc

@@ -88,7 +88,20 @@ def fetch(tree, fallback=None):
     `fallback`: zero-arg closure recomputing the same results on the
     host; invoked (and the backend marked dead) if the fetch times
     out. Without one, DeviceStall is raised instead.
+
+    Pure-host short-circuit: when the backend is off (BURST_TPU_HOST=1
+    or marked dead) and the tree holds no device arrays -- the normal
+    state on the all-host path, where every chunk was pre-resolved to
+    numpy -- return it directly: no worker thread, no jax.device_get,
+    and no daemon thread left blocked on a dead tunnel.
     """
+    if not device_ok():
+        jax = sys.modules.get("jax")
+        if jax is None:
+            return tree
+        if not any(isinstance(x, jax.Array)
+                   for x in jax.tree_util.tree_leaves(tree)):
+            return tree
     to = _timeout_s()
     if to <= 0:
         return _get(tree)

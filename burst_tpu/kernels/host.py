@@ -102,10 +102,11 @@ def rescore_pairs_np(peq_all: np.ndarray, tiles_all: np.ndarray,
     """numpy port of rescore.make_rescore (+ gather/window wrappers):
     packed [4, B] int32 (ED, gapQ, gapR, final_pos).
 
-    Narrow shapes only (tile width <= 7679 columns, rows <= 511), which
-    the int64 key packing of the running left-chain minimum requires --
-    the same envelope as the device fast path; the C++ kernel has no
-    such limit.
+    Narrow shapes (tile width <= 7679 columns, rows <= 511) run the
+    int64 key-packed left-chain scan -- the same envelope as the device
+    fast path; wider shapes route to _rescore_np_wide (unpacked
+    doubling scan, no limits), so this fallback completes on every
+    shape the engine can produce, like the C++ kernel.
 
     Contract (shared with the C++ kernel): bit-identical to the jax
     kernel for every pair whose true ED <= max_ed -- i.e. every pair
@@ -126,7 +127,10 @@ def rescore_pairs_np(peq_all: np.ndarray, tiles_all: np.ndarray,
     B, Lp = tiles.shape
     m_pad = W * WORD if rows is None else rows
     if Lp > 7679 or m_pad > 511:
-        raise ValueError("rescore_pairs_np: narrow shapes only")
+        # wide shapes exceed the int64 key-packing envelope: run the
+        # unpacked doubling-scan variant instead (same recurrence,
+        # fields carried as separate arrays, no size limits)
+        return _rescore_np_wide(peq, tiles, qlens, max_ed, W, m_pad)
     qlens = np.asarray(qlens, dtype=np.int32)
     bad = (np.asarray(max_ed, dtype=np.int32) + 1)[:, None]  # [B, 1]
     L1 = Lp + 1
@@ -191,6 +195,103 @@ def rescore_pairs_np(peq_all: np.ndarray, tiles_all: np.ndarray,
         sc, sh, shr = nsc, nsh, nshr
 
     # --- final lane reduction over columns 1..Lp ---
+    s_last, g_last, r_last = sc[:, 1:], sh[:, 1:], shr[:, 1:]
+    best_s = s_last.min(axis=1)
+    is_min = s_last == best_s[:, None]
+    best_g = np.where(is_min, g_last, -1).max(axis=1)
+    is_best = is_min & (g_last == best_g[:, None])
+    colix = np.arange(1, Lp + 1, dtype=np.int32)[None, :]
+    first_col = np.where(is_best, colix, np.int32(1 << 30)).min(axis=1)
+    last_col = np.where(is_best, colix, 0).max(axis=1)
+    best_r = np.take_along_axis(
+        r_last, np.clip(first_col - 1, 0, Lp - 1)[:, None], axis=1)[:, 0]
+    ed = np.minimum(best_s, 255)
+    final_pos = last_col - (m_pad - qlens)
+    return np.stack([ed, best_g.astype(np.int32), best_r,
+                     final_pos]).astype(np.int32)
+
+
+def _rescore_np_wide(peq, tiles, qlens, max_ed, W, m_pad):
+    """Unpacked twin of the key-packed DP in rescore_pairs_np for
+    shapes outside its envelope (rows > 511 or > 7679 columns): the
+    running left-chain minimum is a lexicographic prefix-min over four
+    separate int32 field arrays (score-x asc, gapQ-x desc, origin-x
+    desc, shiftR desc) computed by a Hillis-Steele doubling scan --
+    identical order to the packed key, no field-width limits. Used only
+    when the native C++ kernel is unavailable."""
+    B, Lp = tiles.shape
+    qlens = np.asarray(qlens, dtype=np.int32)
+    bad = (np.asarray(max_ed, dtype=np.int32) + 1)[:, None]
+    L1 = Lp + 1
+    pad_col = tiles == 0
+    brange = np.arange(B)
+    eq_cols = np.empty((W, B, Lp), dtype=np.uint32)
+    colv = tiles.astype(np.int64)
+    for w in range(W):
+        eq_cols[w] = peq[brange[:, None], colv, w]
+
+    def cost_row(y):
+        w = (y - 1) // WORD
+        b = np.uint32((y - 1) % WORD)
+        match = ((eq_cols[w] >> b) & np.uint32(1)).astype(bool)
+        return np.where(match, 0,
+                        np.where(pad_col, DEAD, 1)).astype(np.int32)
+
+    d1 = cost_row(1)
+    sc = np.concatenate([np.ones((B, 1), np.int32), d1], axis=1)
+    left = sc[:, :-1]
+    sh1 = ((d1 == 1) & (left == 0)).astype(np.int32)
+    sh = np.concatenate([np.zeros((B, 1), np.int32), sh1], axis=1)
+    shr = np.zeros((B, L1), np.int32)
+    shr[:, 0] = 1
+    sc = np.where(sc >= bad, DEAD, sc)
+
+    xs = np.arange(L1, dtype=np.int32)[None, :]
+    BIG = np.int32(1 << 29)
+    for y in range(2, m_pad + 1):
+        d = cost_row(y)
+        sO = np.minimum(sc[:, :-1] + d, DEAD + 1)
+        sU = np.minimum(sc[:, 1:] + 1, DEAD + 1)
+        gO, gU = sh[:, :-1], sh[:, 1:]
+        takeU = (sU < sO) | ((sU == sO) & (gU > gO))
+        bs = np.where(takeU, sU, sO)
+        bg = np.where(takeU, gU, gO)
+        br = np.where(takeU, shr[:, 1:] + 1, shr[:, :-1])
+        ycol = np.full((B, 1), y, np.int32)
+        bs = np.concatenate([ycol, bs], axis=1)
+        bg = np.concatenate([np.zeros((B, 1), np.int32), bg], axis=1)
+        br = np.concatenate([ycol, br], axis=1)
+        A = np.minimum(bs, DEAD + 1).astype(np.int32) - xs
+        G = bg.astype(np.int32) - xs
+        X = np.broadcast_to(xs, A.shape).copy()
+        R = br.astype(np.int32)
+        s = 1
+        while s < L1:
+            Ac = np.concatenate([np.full((B, s), BIG, np.int32),
+                                 A[:, :-s]], axis=1)
+            Gc = np.concatenate([np.full((B, s), -BIG, np.int32),
+                                 G[:, :-s]], axis=1)
+            Xc = np.concatenate([np.full((B, s), -1, np.int32),
+                                 X[:, :-s]], axis=1)
+            Rc = np.concatenate([np.zeros((B, s), np.int32),
+                                 R[:, :-s]], axis=1)
+            take = (Ac < A) | ((Ac == A) &
+                   ((Gc > G) | ((Gc == G) &
+                    ((Xc > X) | ((Xc == X) & (Rc > R))))))
+            A = np.where(take, Ac, A)
+            G = np.where(take, Gc, G)
+            X = np.where(take, Xc, X)
+            R = np.where(take, Rc, R)
+            s <<= 1
+        nsc = A + xs
+        nsh = G + xs
+        nshr = R
+        nsc = np.where(nsc >= bad, DEAD, nsc)
+        nsc[:, 0] = y
+        nsh[:, 0] = 0
+        nshr[:, 0] = y
+        sc, sh, shr = nsc, nsh, nshr
+
     s_last, g_last, r_last = sc[:, 1:], sh[:, 1:], shr[:, 1:]
     best_s = s_last.min(axis=1)
     is_min = s_last == best_s[:, None]

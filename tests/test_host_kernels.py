@@ -120,6 +120,48 @@ def test_rescore_host_vs_jax(seed, W, lb, win):
         r.stdout + r.stderr
 
 
+@pytest.mark.parametrize("seed", [21, 22])
+def test_rescore_np_wide_vs_packed(seed):
+    """The unpacked doubling-scan fallback == the packed DP inside the
+    packed envelope (same recurrence, different chain-min machinery)."""
+    smat, peq, qlens, tiles, pidx, tidx = _mk(seed, W=2, lb=192)
+    rng = np.random.default_rng(seed + 500)
+    B = len(pidx)
+    max_ed = rng.integers(0, 30, B).astype(np.int64)
+    ql = qlens[pidx].astype(np.int64)
+    rows = 64
+    packed = host.rescore_pairs_np(peq, tiles, pidx, tidx, ql, max_ed,
+                                   2, rows)
+    wide = host._rescore_np_wide(
+        peq[np.asarray(pidx, np.int64)], tiles[np.asarray(tidx, np.int64)],
+        ql, max_ed, 2, rows)
+    np.testing.assert_array_equal(wide, packed)
+
+
+@pytest.mark.parametrize("seed,W,lb", [(31, 17, 1024), (32, 16, 8000)])
+def test_rescore_np_wide_shapes_vs_native(seed, W, lb):
+    """Shapes outside the packing envelope (rows > 511 via W=17, or
+    > 7679 columns) complete through rescore_pairs_np's wide fallback
+    and match the C++ kernel -- the ADVICE-r4 crash case: long queries
+    or long-reference buckets under BURST_TPU_HOST=1 with no compiler."""
+    smat, peq, qlens, tiles, pidx, tidx = _mk(seed, NQ=4, NT=3, B=8,
+                                              W=W, lb=lb)
+    rng = np.random.default_rng(seed + 500)
+    B = len(pidx)
+    max_ed = rng.integers(5, 60, B).astype(np.int64)
+    ql = qlens[pidx].astype(np.int64)
+    rows = W * 32
+    got_np = host.rescore_pairs_np(peq, tiles, pidx, tidx, ql, max_ed,
+                                   W, rows)
+    got_c = rescore_pairs_native(peq, tiles, pidx, tidx, ql, max_ed,
+                                 W, rows)
+    assert got_c is not None
+    live = got_c[0] < 255
+    assert live.any()
+    np.testing.assert_array_equal(got_np[0], got_c[0])
+    np.testing.assert_array_equal(got_np[:, live], got_c[:, live])
+
+
 def test_myers_host_xalpha():
     """256-code (Xalpha) Peq tables route through the same kernels."""
     rng = np.random.default_rng(77)

@@ -44,7 +44,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 GBP = float(os.environ.get("BIGDB_GBP", "10"))
 N_READS = int(os.environ.get("BIGDB_READS", "20000"))
 N_SUBSET = int(os.environ.get("BIGDB_SUBSET", "100"))
-MMAP_DIR = os.environ.get("BIGDB_MMAP_DIR", "/tmp/bigdb_ids")
 STAGE_DIR = os.environ.get("BIGDB_STAGE", "/tmp/bigdb_stage")
 PAR_LEN = 250_000
 N_MEM = 10
@@ -52,6 +51,13 @@ DIVERGENCE = 0.01
 READ_LEN = 100
 THRES = 0.98
 K = 12
+# memmap dir is scoped by the same generation-parameter key as the
+# stage pickle: pruning (fresh-build or resume-time) must only ever
+# touch THIS configuration's files -- two configs sharing the machine
+# would otherwise delete each other's live multi-GB postings memmaps
+MMAP_DIR = os.path.join(
+    os.environ.get("BIGDB_MMAP_DIR", "/tmp/bigdb_ids"),
+    f"{GBP}_{K}_{N_READS}_{N_MEM}_{PAR_LEN}_{DIVERGENCE}")
 
 
 def _t(msg, t0):
