@@ -23,6 +23,10 @@ _TRIED = False
 _HOST = None
 _HOST_TRIED = False
 
+# dense scour-table value-encoding version (see _csr_args): bump when
+# Postings::decode in burst_host.cpp changes
+_SCOUR_TAB_VER = 2
+
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _U32P = ctypes.POINTER(ctypes.c_uint32)
 _I32P = ctypes.POINTER(ctypes.c_int32)
@@ -132,7 +136,7 @@ def load_host():
         lib.myers_pairs.argtypes = [
             _U32P, _U8P, _I32P, _I32P,
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
-            _I32P]
+            _I32P, ctypes.c_long]
         lib.rescore_pairs.argtypes = [
             _U32P, _U8P, _I32P, _I32P, _I32P, _I32P, _I32P,
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
@@ -165,6 +169,12 @@ def _csr_args(csr):
         return (None, 0, _ptr(z64, _I64P), 0, _ptr(z64, _I64P),
                 _ptr(zu, _U32P), None, None, 0, [z64, zu])
     cached = getattr(csr, "_scour_tab", None)
+    # derived tables travel inside stage pickles; a cache written by an
+    # older build (different value encoding) must be rebuilt, not
+    # misread -- the version tag guards that
+    if cached is not None and (len(cached) != 8 or
+                               cached[0] != _SCOUR_TAB_VER):
+        cached = None
     if cached is None:
         span = int(csr.nzw[-1]) + 1
         nzw = np.ascontiguousarray(csr.nzw, dtype=np.int64)
@@ -176,9 +186,18 @@ def _csr_args(csr):
         pairs[1::2] = cnts
         hkey = hval = None
         if span <= (1 << 26):
+            # value encoding (Postings::decode in burst_host.cpp):
+            # top bit = single posting id inline; bits 27-30 nonzero =
+            # (start, count) inline for count 2-15 & start < 2^27 (one
+            # load resolves the word); else rank+1 (<= 2^26+1 here, so
+            # it cannot collide with the count field)
             tab = np.zeros(span, dtype=np.uint32)
             single = (cnts == 1) & (ids[starts] < (1 << 31))
+            shallow = (~single) & (cnts <= 15) & (starts < (1 << 27))
             tab[nzw] = np.arange(1, len(nzw) + 1, dtype=np.uint32)
+            tab[nzw[shallow]] = (
+                (cnts[shallow].astype(np.uint32) << np.uint32(27)) |
+                starts[shallow].astype(np.uint32))
             tab[nzw[single]] = (np.uint32(0x80000000) |
                                 ids[starts[single]].astype(np.uint32))
         else:
@@ -194,9 +213,9 @@ def _csr_args(csr):
                                _ptr(ids, _U32P), len(nzw),
                                _ptr(hkey, _I64P), _ptr(hval, _U32P),
                                cap)
-        cached = csr._scour_tab = (tab, span, nzw, pairs, ids, hkey,
-                                   hval)
-    tab, span, nzw, pairs, ids, hkey, hval = cached
+        cached = csr._scour_tab = (_SCOUR_TAB_VER, tab, span, nzw,
+                                   pairs, ids, hkey, hval)
+    _, tab, span, nzw, pairs, ids, hkey, hval = cached
     tab_p = _ptr(tab, _U32P) if tab is not None else None
     hkey_p = _ptr(hkey, _I64P) if hkey is not None else None
     hval_p = _ptr(hval, _U32P) if hval is not None else None
@@ -416,7 +435,7 @@ def myers_pairs_native(peq_all, tiles_all, pidx, tidx, W: int
     lib.myers_pairs(_ptr(peq, _U32P), _ptr(tiles, _U8P),
                     _ptr(pidx, _I32P), _ptr(tidx, _I32P),
                     B, peq.shape[1], W, tiles.shape[1],
-                    _ptr(out, _I32P))
+                    _ptr(out, _I32P), peq.shape[0])
     return out[:, :B]
 
 

@@ -23,12 +23,14 @@ static int omp_get_thread_num() { return 0; }
 
 namespace {
 
-// postings lookup. Dense path: tab[w] = 0 absent, top-bit-set =
-// single posting with the id inline (one cache miss resolves the
-// whole word -- most k-mers have one posting), else rank+1 into the
-// interleaved (start, count) pair array. Large spans (k=15) use an
-// open-addressing hash with the same value encoding; the final
-// fallback is binary search over the sorted nonzero words.
+// postings lookup. Dense path: tab[w] = 0 absent; top-bit-set =
+// single posting with the id inline; count field (bits 27-30) nonzero
+// = (start, count) inline for shallow words (count 2-15, start <
+// 2^27) -- one cache miss resolves the word without the dependent
+// (start, count) pair load, and family-DB words are almost all
+// shallow; else rank+1 into the interleaved pair array. Large spans
+// (k=15) use an open-addressing hash with the same value encoding;
+// the final fallback is binary search over the sorted nonzero words.
 struct Postings {
     const uint32_t* tab; long span;
     const int64_t* nzw; long n_nz;
@@ -41,7 +43,27 @@ struct Postings {
                & hmask;
     }
 
+    // dense-table decode: count-inline encoding (span <= 2^26 keeps
+    // every rank within the 27-bit field)
     int64_t decode(uint32_t v, int64_t* s, int64_t* id) const {
+        if (v & 0x80000000u) {
+            *s = -1;
+            *id = (int64_t)(v & 0x7FFFFFFFu);
+            return 1;
+        }
+        long c = (v >> 27) & 0xF;
+        if (c) {
+            *s = (int64_t)(v & 0x07FFFFFFu);
+            return c;
+        }
+        long r = (long)(v & 0x07FFFFFFu) - 1;
+        *s = pairs[2 * r];
+        return pairs[2 * r + 1];
+    }
+
+    // hash decode: ranks can exceed 27 bits (k=15 multi-GB builds),
+    // so the original 31-bit rank+1 encoding stays
+    int64_t decode_hash(uint32_t v, int64_t* s, int64_t* id) const {
         if (v & 0x80000000u) {
             *s = -1;
             *id = (int64_t)(v & 0x7FFFFFFFu);
@@ -64,7 +86,7 @@ struct Postings {
         if (hkey) {
             long i = hslot(w);
             while (hkey[i] != -1) {
-                if (hkey[i] == w) return decode(hval[i], s, id);
+                if (hkey[i] == w) return decode_hash(hval[i], s, id);
                 i = (i + 1) & hmask;
             }
             return 0;
@@ -78,6 +100,16 @@ struct Postings {
 };
 
 struct Cand { int64_t hits; int64_t touch; int64_t clump; };
+
+// stage-cycle accounting, enabled by BURST_SCOUR_PROF=1 (printed to
+// stderr at the end of each scour_run); negligible overhead when off
+static bool g_prof = []() {
+    const char* e = getenv("BURST_SCOUR_PROF");
+    return e && e[0] == '1';
+}();
+static inline uint64_t rdtsc() {
+    return g_prof ? __builtin_ia32_rdtsc() : 0;
+}
 
 }  // namespace
 
@@ -168,6 +200,8 @@ long scour_run(
     int nt = threads > 0 ? (int)threads : omp_get_max_threads();
     std::vector<std::vector<int64_t>> t_bflat(nt), t_bhits(nt),
         t_mflat(nt), t_ukeys(nt);
+    uint64_t c_words = 0, c_find = 0, c_flat = 0, c_acc = 0,
+             c_sel = 0, c_emit = 0;
 
 #pragma omp parallel num_threads(nt)
     {
@@ -184,9 +218,15 @@ long scour_run(
         // run-collapsed per-word data (staged for memory parallelism)
         std::vector<int64_t> uw, uwt, umemb, umcnt;
         std::vector<int64_t> ps, pc, pid, ups, upc, upid;
+        // flattened postings + per-span meta for the prefetch-ahead
+        // accumulate (fast1 path)
+        std::vector<uint32_t> fu; fu.reserve(4096);
+        std::vector<int32_t> fc; fc.reserve(256);
+        std::vector<int64_t> fm; fm.reserve(256);
 
 #pragma omp for schedule(static)
         for (long g = 0; g < n_bunches; ++g) {
+            uint64_t t0p = rdtsc();
             long j_lo = g * qbunch;
             long j_hi = std::min(b1, j_lo + qbunch);
             bool any_ambig = j_lo < b0;
@@ -239,6 +279,7 @@ long scour_run(
                 }
             }
             size_t nw = uw.size();
+            uint64_t t1p = rdtsc();
             // single-walk fast path: with the unit index active and
             // one clear member per bunch, the unit postings drive BOTH
             // tables -- clump hits accumulate once per distinct clump
@@ -246,6 +287,11 @@ long scour_run(
             // the ACX clump-posting order, so first-touch ranks agree)
             bool fast1 = do_unit && qbunch == 1 && vecsz > 0 &&
                          j_lo >= b0;
+            // vecsz is 16 in practice (the reference's clump width);
+            // a shift avoids a ~25-cycle idiv on every posting
+            const int vshift =
+                (vecsz > 0 && (vecsz & (vecsz - 1)) == 0)
+                ? __builtin_ctzll((unsigned long long)vecsz) : -1;
             touched.clear();
             if (fast1) {
                 ups.assign(nw, 0); upc.assign(nw, 0); upid.assign(nw, 0);
@@ -261,18 +307,56 @@ long scour_run(
                     ups[i] = s; upc[i] = c; upid[i] = idv;
                     if (c && s >= 0) __builtin_prefetch(&u_ids[s]);
                 }
-                utouched.clear();
+                uint64_t t2p = rdtsc();
+                // Flatten the postings spans into one buffer, span
+                // D ahead prefetched while span i streams out: the
+                // u_ids loads overlap instead of serializing their
+                // cache misses (the postings array is hundreds of MB;
+                // every span is a miss).
+                fu.clear(); fc.clear(); fm.clear();
+                const size_t D = 8;
                 for (size_t i = 0; i < nw; ++i) {
-                    int64_t c = upc[i], m = uwt[i];
+                    if (i + D < nw && upc[i + D] && ups[i + D] >= 0) {
+                        const uint32_t* p0 = &u_ids[ups[i + D]];
+                        for (long o = 0; o < upc[i + D]; o += 16)
+                            __builtin_prefetch(p0 + o);
+                    }
+                    int64_t c = upc[i];
                     if (!c) continue;
+                    if (ups[i] < 0) {
+                        fu.push_back((uint32_t)upid[i]);
+                    } else {
+                        const uint32_t* p0 = &u_ids[ups[i]];
+                        fu.insert(fu.end(), p0, p0 + c);
+                    }
+                    fc.push_back((int32_t)c);
+                    fm.push_back(uwt[i]);
+                }
+                uint64_t t3p = rdtsc();
+                // Accumulate with the counter lines prefetched PF
+                // entries ahead: uh (one line per distinct unit) and
+                // hits (per clump) are multi-MB tables, and the
+                // dependent-walk form stalls on every increment.
+                utouched.clear();
+                const size_t PF = 24;
+                size_t gi = 0;
+                const size_t tot = fu.size();
+                for (size_t si = 0; si < fc.size(); ++si) {
+                    int64_t m = fm[si];
                     int64_t last_cl = -1;
-                    for (int64_t p = 0; p < c; ++p) {
-                        int64_t u = ups[i] < 0 ? upid[i]
-                                               : (int64_t)u_ids[ups[i] + p];
+                    for (int32_t p = 0; p < fc[si]; ++p, ++gi) {
+                        if (gi + PF < tot) {
+                            long un = (long)fu[gi + PF];
+                            __builtin_prefetch(&uh[un]);
+                            __builtin_prefetch(&hits[vshift >= 0
+                                ? (un >> vshift) : (un / vecsz)]);
+                        }
+                        int64_t u = (int64_t)fu[gi];
                         if (!uh[u]) utouched.push_back(u);
                         uh[u] = (int32_t)std::min<int64_t>(
                             (int64_t)uh[u] + m, 0x7FFFFFFF);
-                        int64_t cl = u / vecsz;
+                        int64_t cl = vshift >= 0 ? (u >> vshift)
+                                                 : (u / vecsz);
                         if (cl != last_cl) {
                             if (!hits[cl]) touched.push_back(cl);
                             int64_t h = (int64_t)hits[cl] + m;
@@ -281,6 +365,11 @@ long scour_run(
                             last_cl = cl;
                         }
                     }
+                }
+                uint64_t t4p = rdtsc();
+                if (g_prof) {
+                    c_words += t1p - t0p; c_find += t2p - t1p;
+                    c_flat += t3p - t2p; c_acc += t4p - t3p;
                 }
             } else {
             // stage: batched postings lookups (independent accesses
@@ -335,6 +424,7 @@ long scour_run(
             }
             }
             // candidates: hits > mm_bunch, (hits desc, touch-order asc)
+            uint64_t t5p = rdtsc();
             int64_t thr = mm_bunch[g];
             cand.clear();
             for (size_t t = 0; t < touched.size(); ++t) {
@@ -363,16 +453,24 @@ long scour_run(
                 res.mcnt[j] = cnt;
             }
             for (int64_t cl : touched) hits[cl] = 0;
+            uint64_t t6p = rdtsc();
+            if (g_prof) c_sel += t6p - t5p;
             // fused unit-level prefilter (clear members only) over the
-            // same run-collapsed words
+            // same run-collapsed words. Only the PASSING units need
+            // sorting for the ascending-key contract -- a handful per
+            // read -- not the whole touched list (hundreds); sorting
+            // everything was the single hottest stage of the scour.
             if (fast1) {
-                std::sort(utouched.begin(), utouched.end());
                 int64_t thrU = mm_inner[j_lo];
+                size_t k0 = t_ukeys[tid].size();
                 for (int64_t u : utouched) {
                     if (uh[u] > thrU)
                         t_ukeys[tid].push_back(j_lo * tot_units + u);
                     uh[u] = 0;
                 }
+                std::sort(t_ukeys[tid].begin() + k0,
+                          t_ukeys[tid].end());
+                if (g_prof) c_emit += rdtsc() - t6p;
             } else if (do_unit) {
                 for (long j = std::max(j_lo, b0); j < j_hi; ++j) {
                     int64_t mrel = j - j_lo;
@@ -423,6 +521,11 @@ long scour_run(
         res.ukeys.insert(res.ukeys.end(), t_ukeys[t].begin(),
                          t_ukeys[t].end());
     }
+    if (g_prof)
+        fprintf(stderr, "[scour prof] words=%.0fM find=%.0fM flat=%.0fM"
+                " acc=%.0fM sel=%.0fM emit=%.0fM cycles\n",
+                c_words / 1e6, c_find / 1e6, c_flat / 1e6, c_acc / 1e6,
+                c_sel / 1e6, c_emit / 1e6);
     g_scour = std::move(res);   // publish to this caller thread's slot
     return 0;
 }
@@ -791,6 +894,134 @@ void accel_fill(
 // mid-run (see burst_tpu/devtime.py) and for BURST_TPU_HOST=1 pure-CPU
 // execution. Bit-identical to kernels/myers.py and kernels/rescore.py
 // (fuzzed in tests/test_host_kernels.py).
+//
+// Both kernels have two cores: a scalar one (any compiler/ISA) and an
+// AVX-512 one processing 16 pairs per vector -- the across-pair
+// "inter-sequence" layout, the CPU analog of the Pallas kernels' pair
+// batch dimension. The vector cores are bit-exact to the scalar ones
+// (same integer recurrences lane-wise) and are fuzzed through the same
+// tests; groups of 16 go vector, the remainder scalar.
+
+static void myers_pair_scalar(
+    const uint32_t* peq, const uint8_t* tile,
+    long B, long b, long W, long Lp, int32_t* out)
+{
+    uint32_t VP[32], VN[32], Ph[32], Mh[32], Xv[32];
+    for (long w = 0; w < W; ++w) { VP[w] = 0xFFFFFFFFu; VN[w] = 0; }
+    int32_t score = (int32_t)(W * 32), best = score;
+    int32_t first = 0, last = 0;
+    for (long j = 0; j < Lp; ++j) {
+        const uint32_t* eq = peq + (long)tile[j] * W;
+        uint32_t carry = 0;
+        for (long w = 0; w < W; ++w) {
+            uint32_t Eq = eq[w];
+            Xv[w] = Eq | VN[w];
+            uint32_t a = Eq & VP[w];
+            uint32_t s1 = a + VP[w];
+            uint32_t c1 = s1 < a;
+            uint32_t s2 = s1 + carry;
+            uint32_t c2 = s2 < s1;
+            uint32_t Xh = (s2 ^ VP[w]) | Eq;
+            Ph[w] = VN[w] | ~(Xh | VP[w]);
+            Mh[w] = VP[w] & Xh;
+            carry = c1 | c2;
+        }
+        score += (int32_t)(Ph[W - 1] >> 31)
+               - (int32_t)(Mh[W - 1] >> 31);
+        if (score < best) first = (int32_t)(j + 1);
+        if (score <= best) { best = score; last = (int32_t)(j + 1); }
+        uint32_t pc = 0, mc = 0;
+        for (long w = 0; w < W; ++w) {
+            uint32_t phs = (Ph[w] << 1) | pc;
+            uint32_t mhs = (Mh[w] << 1) | mc;
+            pc = Ph[w] >> 31; mc = Mh[w] >> 31;
+            VP[w] = mhs | ~(Xv[w] | phs);
+            VN[w] = phs & Xv[w];
+        }
+    }
+    out[b] = best;
+    out[B + b] = first;
+    out[2 * B + b] = last;
+}
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define BURST_HOST_AVX512 1
+
+// 16 pairs at once; codes = [Lp][16] u32 pre-transposed tile columns,
+// base[lane] = pidx*C*W element offsets into peq_all (caller checks
+// the total peq element count fits int32 for the gathers).
+static void myers_pairs_avx16(
+    const uint32_t* peq_all, const uint32_t* codes,
+    const int32_t* base, long B, long b0, long W, long Lp,
+    int32_t* out)
+{
+    __m512i VP[32], VN[32], Ph[32], Mh[32], Xv[32];
+    const __m512i ones = _mm512_set1_epi32(-1);
+    for (long w = 0; w < W; ++w) {
+        VP[w] = ones;
+        VN[w] = _mm512_setzero_si512();
+    }
+    const __m512i vbase = _mm512_loadu_si512(base);
+    const __m512i vW = _mm512_set1_epi32((int)W);
+    const __m512i one = _mm512_set1_epi32(1);
+    __m512i score = _mm512_set1_epi32((int)(W * 32));
+    __m512i best = score;
+    __m512i first = _mm512_setzero_si512();
+    __m512i last = _mm512_setzero_si512();
+    for (long j = 0; j < Lp; ++j) {
+        __m512i code = _mm512_loadu_si512(codes + j * 16);
+        __m512i eqix = _mm512_add_epi32(
+            vbase, _mm512_mullo_epi32(code, vW));
+        __mmask16 carry = 0;
+        for (long w = 0; w < W; ++w) {
+            __m512i Eq = _mm512_i32gather_epi32(
+                _mm512_add_epi32(eqix, _mm512_set1_epi32((int)w)),
+                (const int*)peq_all, 4);
+            Xv[w] = _mm512_or_si512(Eq, VN[w]);
+            __m512i a = _mm512_and_si512(Eq, VP[w]);
+            __m512i s1 = _mm512_add_epi32(a, VP[w]);
+            __mmask16 c1 = _mm512_cmplt_epu32_mask(s1, a);
+            __m512i s2 = _mm512_mask_add_epi32(s1, carry, s1, one);
+            __mmask16 c2 = _mm512_mask_cmplt_epu32_mask(carry, s2, s1);
+            __m512i Xh = _mm512_or_si512(
+                _mm512_xor_si512(s2, VP[w]), Eq);
+            Ph[w] = _mm512_or_si512(VN[w], _mm512_andnot_si512(
+                _mm512_or_si512(Xh, VP[w]), ones));
+            Mh[w] = _mm512_and_si512(VP[w], Xh);
+            carry = c1 | c2;
+        }
+        score = _mm512_add_epi32(score, _mm512_srli_epi32(Ph[W-1], 31));
+        score = _mm512_sub_epi32(score, _mm512_srli_epi32(Mh[W-1], 31));
+        __m512i jj = _mm512_set1_epi32((int)(j + 1));
+        __mmask16 strict = _mm512_cmplt_epi32_mask(score, best);
+        __mmask16 upd = _mm512_cmple_epi32_mask(score, best);
+        first = _mm512_mask_mov_epi32(first, strict, jj);
+        last = _mm512_mask_mov_epi32(last, upd, jj);
+        best = _mm512_mask_mov_epi32(best, upd, score);
+        __m512i pc = _mm512_setzero_si512();
+        __m512i mc = _mm512_setzero_si512();
+        for (long w = 0; w < W; ++w) {
+            __m512i phs = _mm512_or_si512(_mm512_slli_epi32(Ph[w],1), pc);
+            __m512i mhs = _mm512_or_si512(_mm512_slli_epi32(Mh[w],1), mc);
+            pc = _mm512_srli_epi32(Ph[w], 31);
+            mc = _mm512_srli_epi32(Mh[w], 31);
+            VP[w] = _mm512_or_si512(mhs, _mm512_andnot_si512(
+                _mm512_or_si512(Xv[w], phs), ones));
+            VN[w] = _mm512_and_si512(phs, Xv[w]);
+        }
+    }
+    alignas(64) int32_t tb[16], tf[16], tl[16];
+    _mm512_store_si512(tb, best);
+    _mm512_store_si512(tf, first);
+    _mm512_store_si512(tl, last);
+    for (int l = 0; l < 16; ++l) {
+        out[b0 + l] = tb[l];
+        out[B + b0 + l] = tf[l];
+        out[2 * B + b0 + l] = tl[l];
+    }
+}
+#endif  // AVX512
 
 extern "C" {
 
@@ -802,51 +1033,45 @@ extern "C" {
 // W <= 32 (queries <= 1024 rows; the engine's buckets guarantee it).
 void myers_pairs(const uint32_t* peq_all, const uint8_t* tiles_all,
                  const int32_t* pidx, const int32_t* tidx,
-                 long B, long C, long W, long Lp, int32_t* out)
+                 long B, long C, long W, long Lp, int32_t* out,
+                 long nq_total)
 {
     if (W > 32) { for (long b = 0; b < 3 * B; ++b) out[b] = -1; return; }
-#pragma omp parallel for schedule(dynamic, 64)
-    for (long b = 0; b < B; ++b) {
-        const uint32_t* peq = peq_all + (int64_t)pidx[b] * C * W;
-        const uint8_t* tile = tiles_all + (int64_t)tidx[b] * Lp;
-        uint32_t VP[32], VN[32], Ph[32], Mh[32], Xv[32];
-        for (long w = 0; w < W; ++w) { VP[w] = 0xFFFFFFFFu; VN[w] = 0; }
-        int32_t score = (int32_t)(W * 32), best = score;
-        int32_t first = 0, last = 0;
-        for (long j = 0; j < Lp; ++j) {
-            const uint32_t* eq = peq + (long)tile[j] * W;
-            uint32_t carry = 0;
-            for (long w = 0; w < W; ++w) {
-                uint32_t Eq = eq[w];
-                Xv[w] = Eq | VN[w];
-                uint32_t a = Eq & VP[w];
-                uint32_t s1 = a + VP[w];
-                uint32_t c1 = s1 < a;
-                uint32_t s2 = s1 + carry;
-                uint32_t c2 = s2 < s1;
-                uint32_t Xh = (s2 ^ VP[w]) | Eq;
-                Ph[w] = VN[w] | ~(Xh | VP[w]);
-                Mh[w] = VP[w] & Xh;
-                carry = c1 | c2;
+#ifdef BURST_HOST_AVX512
+    // int32 gather-offset envelope: every peq element offset
+    // (nq_total*C*W) must fit in int32
+    bool vec_ok = nq_total > 0 &&
+        nq_total * C * W < (long)0x7FFFFF00;
+    long Bv = vec_ok ? (B & ~15L) : 0;
+#pragma omp parallel
+    {
+        std::vector<uint32_t> codes((size_t)Lp * 16);
+        alignas(64) int32_t base[16];
+#pragma omp for schedule(dynamic, 1)
+        for (long g = 0; g < Bv / 16; ++g) {
+            long b0 = g * 16;
+            for (int l = 0; l < 16; ++l) {
+                base[l] = (int32_t)((long)pidx[b0 + l] * C * W);
+                const uint8_t* t =
+                    tiles_all + (int64_t)tidx[b0 + l] * Lp;
+                for (long j = 0; j < Lp; ++j)
+                    codes[(size_t)j * 16 + l] = t[j];
             }
-            score += (int32_t)(Ph[W - 1] >> 31)
-                   - (int32_t)(Mh[W - 1] >> 31);
-            if (score < best) first = (int32_t)(j + 1);
-            if (score <= best) { best = score; last = (int32_t)(j + 1); }
-            uint32_t pc = 0, mc = 0;
-            for (long w = 0; w < W; ++w) {
-                uint32_t phs = (Ph[w] << 1) | pc;
-                uint32_t mhs = (Mh[w] << 1) | mc;
-                pc = Ph[w] >> 31; mc = Mh[w] >> 31;
-                VP[w] = mhs | ~(Xv[w] | phs);
-                VN[w] = phs & Xv[w];
-            }
+            myers_pairs_avx16(peq_all, codes.data(), base, B, b0,
+                              W, Lp, out);
         }
-        out[b] = best;
-        out[B + b] = first;
-        out[2 * B + b] = last;
     }
+#else
+    long Bv = 0;
+#endif
+#pragma omp parallel for schedule(dynamic, 64)
+    for (long b = Bv; b < B; ++b)
+        myers_pair_scalar(peq_all + (int64_t)pidx[b] * C * W,
+                          tiles_all + (int64_t)tidx[b] * Lp,
+                          B, b, W, Lp, out);
 }
+
+}  // extern "C"
 
 // Phase B: tie-aware rescore DP over winner pairs -- the sequential
 // form of kernels/rescore.py make_rescore (burst.c:713-886 dual-
@@ -861,22 +1086,274 @@ void myers_pairs(const uint32_t* peq_all, const uint8_t* tiles_all,
 // non-null the DP runs on the [Lw-1]-column window starting at x0[b]
 // (clamped gather, as kernels/rescore._window_tiles); final_pos is
 // window-local.
+
+static void rescore_pair_scalar(
+    const uint32_t* peq, const uint8_t* tile,
+    long B, long b, long W, long L, long rows,
+    int32_t qlen, int32_t bad, int32_t* out,
+    int32_t* sc, int32_t* sh, int32_t* shr,
+    int32_t* nsc, int32_t* nsh, int32_t* nshr)
+{
+    const int32_t DEADv = 511;
+    // row 1, special-cased exactly like the reference: shiftQ
+    // starts where a cost-1 cell follows a cost-0 left cell
+    sc[0] = (1 >= bad) ? DEADv : 1;
+    sh[0] = 0; shr[0] = 1;
+    int32_t left_raw = 1;
+    for (long x = 1; x <= L; ++x) {
+        int c = tile[x - 1];
+        int match = peq[(long)c * W] & 1u;
+        int32_t d = match ? 0 : (c == 0 ? DEADv : 1);
+        sh[x] = (d == 1 && left_raw == 0) ? 1 : 0;
+        shr[x] = 0;
+        left_raw = d;
+        sc[x] = (d >= bad) ? DEADv : d;
+    }
+    for (int32_t y = 2; y <= (int32_t)rows; ++y) {
+        const long yy = y - 1;
+        const long w = yy >> 5;
+        const uint32_t bit = 1u << (yy & 31);
+        // chain state = running best origin (unclamped score)
+        int32_t cs = y, cg = 0, cr = y;
+        nsc[0] = y; nsh[0] = 0; nshr[0] = y;
+        for (long x = 1; x <= L; ++x) {
+            int c = tile[x - 1];
+            int match = (peq[(long)c * W + w] & bit) != 0;
+            int32_t d = match ? 0 : (c == 0 ? DEADv : 1);
+            int32_t sO = sc[x - 1] + d;
+            if (sO > DEADv + 1) sO = DEADv + 1;
+            int32_t sU = sc[x] + 1;
+            if (sU > DEADv + 1) sU = DEADv + 1;
+            bool takeU = (sU < sO) ||
+                         (sU == sO && sh[x] > sh[x - 1]);
+            int32_t bs = takeU ? sU : sO;
+            int32_t bg = takeU ? sh[x] : sh[x - 1];
+            int32_t br = takeU ? shr[x] + 1 : shr[x - 1];
+            int32_t cand_s = cs + 1, cand_g = cg + 1;
+            if (cand_s < bs ||
+                (cand_s == bs && cand_g > bg)) {
+                cs = cand_s; cg = cand_g;   // cr carries over
+            } else {
+                cs = bs; cg = bg; cr = br;
+            }
+            nsc[x] = (cs >= bad) ? DEADv : cs;
+            nsh[x] = cg;
+            nshr[x] = cr;
+        }
+        std::swap(sc, nsc); std::swap(sh, nsh); std::swap(shr, nshr);
+    }
+    // final lane reduction over columns 1..L
+    int32_t best_s = DEADv + 1;
+    for (long x = 1; x <= L; ++x)
+        if (sc[x] < best_s) best_s = sc[x];
+    int32_t best_g = -1;
+    for (long x = 1; x <= L; ++x)
+        if (sc[x] == best_s && sh[x] > best_g) best_g = sh[x];
+    int32_t first_col = 0, last_col = 0;
+    for (long x = 1; x <= L; ++x)
+        if (sc[x] == best_s && sh[x] == best_g) {
+            if (!first_col) first_col = (int32_t)x;
+            last_col = (int32_t)x;
+        }
+    out[b] = best_s < 255 ? best_s : 255;
+    out[B + b] = best_g;
+    out[2 * B + b] = shr[first_col];
+    out[3 * B + b] = last_col - ((int32_t)rows - qlen);
+}
+
+#ifdef BURST_HOST_AVX512
+// 16 pairs per call, lane-interleaved state ([L1][16] int32 planes).
+// eqc = [W][L][16] pre-gathered Peq columns, padm = per-column pad
+// masks, both built by the caller from the transposed codes. The
+// integer recurrence is the scalar core lane-wise; bit-exact.
+static void rescore_pairs_avx16(
+    const uint32_t* eqc, const uint16_t* padm,
+    const int32_t* qlens, const int32_t* max_ed,
+    long B, long b0, long W, long L, long rows, int32_t* out,
+    int32_t* st /* 6 * (L+1) * 16 scratch */)
+{
+    const long L1 = L + 1;
+    const __m512i one = _mm512_set1_epi32(1);
+    const __m512i vDEAD = _mm512_set1_epi32(511);
+    const __m512i vDEAD1 = _mm512_set1_epi32(512);
+    const __m512i vbad = _mm512_add_epi32(
+        _mm512_loadu_si512(max_ed + b0), one);
+    int32_t *sc = st, *sh = st + L1 * 16, *shr = st + 2 * L1 * 16;
+    int32_t *nsc = st + 3 * L1 * 16, *nsh = st + 4 * L1 * 16,
+            *nshr = st + 5 * L1 * 16;
+    // row 1
+    {
+        __m512i v = _mm512_mask_mov_epi32(
+            one, _mm512_cmple_epi32_mask(vbad, one), vDEAD);
+        _mm512_storeu_si512(sc, v);
+        _mm512_storeu_si512(sh, _mm512_setzero_si512());
+        _mm512_storeu_si512(shr, one);
+        __m512i left_raw = one;
+        for (long x = 1; x <= L; ++x) {
+            __m512i eqv = _mm512_loadu_si512(eqc + (x - 1) * 16);
+            __mmask16 match = _mm512_test_epi32_mask(eqv, one);
+            __m512i d = _mm512_mask_mov_epi32(one, padm[x - 1], vDEAD);
+            d = _mm512_maskz_mov_epi32(~match, d);
+            __mmask16 g1 = _mm512_cmpeq_epi32_mask(d, one) &
+                _mm512_cmpeq_epi32_mask(left_raw,
+                                        _mm512_setzero_si512());
+            _mm512_storeu_si512(sh + x * 16,
+                                _mm512_maskz_mov_epi32(g1, one));
+            _mm512_storeu_si512(shr + x * 16, _mm512_setzero_si512());
+            left_raw = d;
+            __m512i v2 = _mm512_mask_mov_epi32(
+                d, _mm512_cmple_epi32_mask(vbad, d), vDEAD);
+            _mm512_storeu_si512(sc + x * 16, v2);
+        }
+    }
+    for (int32_t y = 2; y <= (int32_t)rows; ++y) {
+        const long yy = y - 1;
+        const uint32_t* eqw = eqc + (yy >> 5) * L * 16;
+        const __m512i bitv = _mm512_set1_epi32(1 << (yy & 31));
+        const __m512i vy = _mm512_set1_epi32(y);
+        __m512i cs = vy, cg = _mm512_setzero_si512(), cr = vy;
+        _mm512_storeu_si512(nsc, vy);
+        _mm512_storeu_si512(nsh, _mm512_setzero_si512());
+        _mm512_storeu_si512(nshr, vy);
+        // x-1 state starts at the previous row's boundary column
+        __m512i sc_l = _mm512_loadu_si512(sc);
+        __m512i sh_l = _mm512_loadu_si512(sh);
+        __m512i shr_l = _mm512_loadu_si512(shr);
+        for (long x = 1; x <= L; ++x) {
+            __m512i eqv = _mm512_loadu_si512(eqw + (x - 1) * 16);
+            __mmask16 match = _mm512_test_epi32_mask(eqv, bitv);
+            __m512i d = _mm512_mask_mov_epi32(one, padm[x - 1], vDEAD);
+            d = _mm512_maskz_mov_epi32(~match, d);
+            __m512i sc_x = _mm512_loadu_si512(sc + x * 16);
+            __m512i sh_x = _mm512_loadu_si512(sh + x * 16);
+            __m512i shr_x = _mm512_loadu_si512(shr + x * 16);
+            __m512i sO = _mm512_min_epi32(
+                _mm512_add_epi32(sc_l, d), vDEAD1);
+            __m512i sU = _mm512_min_epi32(
+                _mm512_add_epi32(sc_x, one), vDEAD1);
+            __mmask16 takeU = _mm512_cmplt_epi32_mask(sU, sO) |
+                (_mm512_cmpeq_epi32_mask(sU, sO) &
+                 _mm512_cmpgt_epi32_mask(sh_x, sh_l));
+            __m512i bs = _mm512_mask_mov_epi32(sO, takeU, sU);
+            __m512i bg = _mm512_mask_mov_epi32(sh_l, takeU, sh_x);
+            __m512i br = _mm512_mask_mov_epi32(
+                shr_l, takeU, _mm512_add_epi32(shr_x, one));
+            __m512i cand_s = _mm512_add_epi32(cs, one);
+            __m512i cand_g = _mm512_add_epi32(cg, one);
+            __mmask16 takeC = _mm512_cmplt_epi32_mask(cand_s, bs) |
+                (_mm512_cmpeq_epi32_mask(cand_s, bs) &
+                 _mm512_cmpgt_epi32_mask(cand_g, bg));
+            cs = _mm512_mask_mov_epi32(bs, takeC, cand_s);
+            cg = _mm512_mask_mov_epi32(bg, takeC, cand_g);
+            cr = _mm512_mask_mov_epi32(br, takeC, cr);
+            __m512i store_s = _mm512_mask_mov_epi32(
+                cs, _mm512_cmple_epi32_mask(vbad, cs), vDEAD);
+            _mm512_storeu_si512(nsc + x * 16, store_s);
+            _mm512_storeu_si512(nsh + x * 16, cg);
+            _mm512_storeu_si512(nshr + x * 16, cr);
+            sc_l = sc_x; sh_l = sh_x; shr_l = shr_x;
+        }
+        std::swap(sc, nsc); std::swap(sh, nsh); std::swap(shr, nshr);
+    }
+    // final lane reduction over columns 1..L (per lane, scalar)
+    for (int l = 0; l < 16; ++l) {
+        int32_t best_s = 512;
+        for (long x = 1; x <= L; ++x)
+            if (sc[x * 16 + l] < best_s) best_s = sc[x * 16 + l];
+        int32_t best_g = -1;
+        for (long x = 1; x <= L; ++x)
+            if (sc[x * 16 + l] == best_s && sh[x * 16 + l] > best_g)
+                best_g = sh[x * 16 + l];
+        int32_t first_col = 0, last_col = 0;
+        for (long x = 1; x <= L; ++x)
+            if (sc[x * 16 + l] == best_s && sh[x * 16 + l] == best_g) {
+                if (!first_col) first_col = (int32_t)x;
+                last_col = (int32_t)x;
+            }
+        long b = b0 + l;
+        out[b] = best_s < 255 ? best_s : 255;
+        out[B + b] = best_g;
+        out[2 * B + b] = shr[first_col * 16 + l];
+        out[3 * B + b] = last_col - ((int32_t)rows - qlens[b]);
+    }
+}
+#endif  // AVX512
+
+extern "C" {
+
 void rescore_pairs(const uint32_t* peq_all, const uint8_t* tiles_all,
                    const int32_t* pidx, const int32_t* tidx,
                    const int32_t* qlens, const int32_t* max_ed,
                    const int32_t* x0, long B, long C, long W,
-                   long Lp_all, long Lw, long rows, int32_t* out)
+                   long Lp_all, long Lw, long rows, int32_t* out,
+                   long nq_total)
 {
-    const int32_t DEADv = 511;
     const long L = x0 ? (Lw - 1) : Lp_all;
     const long L1 = L + 1;
+#ifdef BURST_HOST_AVX512
+    bool vec_ok = nq_total > 0 && W <= 32 &&
+        nq_total * C * W < (long)0x7FFFFF00;
+    long Bv = vec_ok ? (B & ~15L) : 0;
+#pragma omp parallel
+    {
+        std::vector<uint32_t> codes((size_t)L * 16);
+        std::vector<uint32_t> eqc((size_t)W * L * 16);
+        std::vector<uint16_t> padm(L);
+        std::vector<int32_t> st(6 * (size_t)L1 * 16);
+#pragma omp for schedule(dynamic, 1)
+        for (long g = 0; g < Bv / 16; ++g) {
+            long b0 = g * 16;
+            for (int l = 0; l < 16; ++l) {
+                const uint8_t* t =
+                    tiles_all + (int64_t)tidx[b0 + l] * Lp_all;
+                if (x0) {
+                    long base = x0[b0 + l];
+                    for (long x = 0; x < L; ++x) {
+                        long ix = base + x;
+                        if (ix > Lp_all - 1) ix = Lp_all - 1;
+                        codes[(size_t)x * 16 + l] = t[ix];
+                    }
+                } else {
+                    for (long x = 0; x < L; ++x)
+                        codes[(size_t)x * 16 + l] = t[x];
+                }
+            }
+            for (long x = 0; x < L; ++x)
+                padm[x] = _mm512_cmpeq_epi32_mask(
+                    _mm512_loadu_si512(codes.data() + x * 16),
+                    _mm512_setzero_si512());
+            const __m512i vW = _mm512_set1_epi32((int)W);
+            alignas(64) int32_t basev[16];
+            for (int l = 0; l < 16; ++l)
+                basev[l] = (int32_t)((long)pidx[b0 + l] * C * W);
+            const __m512i vbase = _mm512_loadu_si512(basev);
+            for (long x = 0; x < L; ++x) {
+                __m512i eqix = _mm512_add_epi32(vbase,
+                    _mm512_mullo_epi32(
+                        _mm512_loadu_si512(codes.data() + x * 16), vW));
+                for (long w = 0; w < W; ++w)
+                    _mm512_storeu_si512(
+                        eqc.data() + ((size_t)w * L + x) * 16,
+                        _mm512_i32gather_epi32(
+                            _mm512_add_epi32(eqix,
+                                _mm512_set1_epi32((int)w)),
+                            (const int*)peq_all, 4));
+            }
+            rescore_pairs_avx16(eqc.data(), padm.data(), qlens,
+                                max_ed, B, b0, W, L, rows, out,
+                                st.data());
+        }
+    }
+#else
+    long Bv = 0;
+#endif
 #pragma omp parallel
     {
         std::vector<int32_t> sc(L1), sh(L1), shr(L1);
         std::vector<int32_t> nsc(L1), nsh(L1), nshr(L1);
         std::vector<uint8_t> tl(x0 ? L : 0);
 #pragma omp for schedule(dynamic, 16)
-        for (long b = 0; b < B; ++b) {
+        for (long b = Bv; b < B; ++b) {
             const uint32_t* peq = peq_all + (int64_t)pidx[b] * C * W;
             const uint8_t* tile =
                 tiles_all + (int64_t)tidx[b] * Lp_all;
@@ -889,71 +1366,15 @@ void rescore_pairs(const uint32_t* peq_all, const uint8_t* tiles_all,
                 }
                 tile = tl.data();
             }
-            const int32_t bad = max_ed[b] + 1;
-            // row 1, special-cased exactly like the reference: shiftQ
-            // starts where a cost-1 cell follows a cost-0 left cell
-            sc[0] = (1 >= bad) ? DEADv : 1;
-            sh[0] = 0; shr[0] = 1;
-            int32_t left_raw = 1;
-            for (long x = 1; x <= L; ++x) {
-                int c = tile[x - 1];
-                int match = peq[(long)c * W] & 1u;
-                int32_t d = match ? 0 : (c == 0 ? DEADv : 1);
-                sh[x] = (d == 1 && left_raw == 0) ? 1 : 0;
-                shr[x] = 0;
-                left_raw = d;
-                sc[x] = (d >= bad) ? DEADv : d;
-            }
-            for (int32_t y = 2; y <= (int32_t)rows; ++y) {
-                const long yy = y - 1;
-                const long w = yy >> 5;
-                const uint32_t bit = 1u << (yy & 31);
-                // chain state = running best origin (unclamped score)
-                int32_t cs = y, cg = 0, cr = y;
-                nsc[0] = y; nsh[0] = 0; nshr[0] = y;
-                for (long x = 1; x <= L; ++x) {
-                    int c = tile[x - 1];
-                    int match = (peq[(long)c * W + w] & bit) != 0;
-                    int32_t d = match ? 0 : (c == 0 ? DEADv : 1);
-                    int32_t sO = sc[x - 1] + d;
-                    if (sO > DEADv + 1) sO = DEADv + 1;
-                    int32_t sU = sc[x] + 1;
-                    if (sU > DEADv + 1) sU = DEADv + 1;
-                    bool takeU = (sU < sO) ||
-                                 (sU == sO && sh[x] > sh[x - 1]);
-                    int32_t bs = takeU ? sU : sO;
-                    int32_t bg = takeU ? sh[x] : sh[x - 1];
-                    int32_t br = takeU ? shr[x] + 1 : shr[x - 1];
-                    int32_t cand_s = cs + 1, cand_g = cg + 1;
-                    if (cand_s < bs ||
-                        (cand_s == bs && cand_g > bg)) {
-                        cs = cand_s; cg = cand_g;   // cr carries over
-                    } else {
-                        cs = bs; cg = bg; cr = br;
-                    }
-                    nsc[x] = (cs >= bad) ? DEADv : cs;
-                    nsh[x] = cg;
-                    nshr[x] = cr;
-                }
-                sc.swap(nsc); sh.swap(nsh); shr.swap(nshr);
-            }
-            // final lane reduction over columns 1..L
-            int32_t best_s = DEADv + 1;
-            for (long x = 1; x <= L; ++x)
-                if (sc[x] < best_s) best_s = sc[x];
-            int32_t best_g = -1;
-            for (long x = 1; x <= L; ++x)
-                if (sc[x] == best_s && sh[x] > best_g) best_g = sh[x];
-            int32_t first_col = 0, last_col = 0;
-            for (long x = 1; x <= L; ++x)
-                if (sc[x] == best_s && sh[x] == best_g) {
-                    if (!first_col) first_col = (int32_t)x;
-                    last_col = (int32_t)x;
-                }
-            out[b] = best_s < 255 ? best_s : 255;
-            out[B + b] = best_g;
-            out[2 * B + b] = shr[first_col];
-            out[3 * B + b] = last_col - ((int32_t)rows - qlens[b]);
+            int32_t* scp = sc.data();
+            int32_t* shp = sh.data();
+            int32_t* shrp = shr.data();
+            int32_t* nscp = nsc.data();
+            int32_t* nshp = nsh.data();
+            int32_t* nshrp = nshr.data();
+            rescore_pair_scalar(peq, tile, B, b, W, L, rows,
+                                qlens[b], max_ed[b] + 1, out,
+                                scp, shp, shrp, nscp, nshp, nshrp);
         }
     }
 }

@@ -150,8 +150,14 @@ class Aligner:
                 visits, ed = fused
             else:
                 engine.prefetch_query_planes(qd, self.smat)
+                # same argument on the host path: BEST gets QBUNCH=1,
+                # which takes the scour's single-walk fast path AND
+                # admits per-member-tight candidate sets (a bunch's
+                # threshold is the min over its members)
                 visits = engine.accel_candidates(
-                    qd, self.rd, self.acc, qbins, dev_scour=dev_scour)
+                    qd, self.rd, self.acc, qbins,
+                    qbunch=1 if mode == "BEST" else None,
+                    dev_scour=dev_scour)
                 ed = engine.compute_ed_matrix_accel(
                     qd, self.rd, visits, self.smat, defer=True)
         else:
