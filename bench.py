@@ -160,6 +160,137 @@ def _pair_stats(qd, rd, acc, smat):
     return len(pj), cells
 
 
+# ---- amplicon headline (the reference's other published figure) ----
+# 12M 292bp amplicons vs Greengenes 13.8 97% in <10 min on a quad
+# E7-4850v2 (~48 cores) = ~20,000 reads/s (/root/reference/README.md:16).
+# Model: a 97%-clustered 16S-style DB (members ~3% pairwise divergence,
+# 139 Mbp total -- Greengenes-97 scale), 292bp reads at -i 0.97,
+# CAPITALIST + LCA taxonomy (the standard amplicon pipeline).
+A_FAM = int(os.environ.get("BENCH_A_FAMILIES", 1200))
+A_MEM = int(os.environ.get("BENCH_A_MEMBERS", 80))
+A_LEN = int(os.environ.get("BENCH_A_LEN", 1450))
+A_READS = int(os.environ.get("BENCH_A_READS", 20000))
+A_READ_LEN = 292
+A_THRES = 0.97
+A_BASELINE = 20_000.0
+
+
+def make_amplicon_workload():
+    rng = np.random.default_rng(20260821)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    refs, rheads, tax = [], [], []
+    n_mut = int(0.015 * A_LEN)    # 1.5% per member => ~3% pairwise
+    for fi in range(A_FAM):
+        anc = rng.choice(bases, size=A_LEN)
+        for m in range(A_MEM):
+            r = anc.copy()
+            pos = rng.integers(0, A_LEN, n_mut)
+            r[pos] = bases[rng.integers(0, 4, n_mut)]
+            refs.append(r)
+            h = f"a{fi:05d}m{m:03d}".encode()
+            rheads.append(h)
+            tax.append(
+                f"k__Bacteria;p__P{fi % 40};c__C{fi % 160};"
+                f"o__O{fi % 400};f__F{fi % 800};g__G{fi};"
+                f"s__S{fi}_{m}")
+    reads, qheads = [], []
+    n_refs = len(refs)
+    for i in range(A_READS):
+        s = refs[int(rng.integers(0, n_refs))]
+        st = int(rng.integers(0, len(s) - A_READ_LEN))
+        r = s[st:st + A_READ_LEN].copy()
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, A_READ_LEN))
+            r[p] = bases[int(rng.integers(0, 4))]
+        reads.append(r)
+        qheads.append(f"aq{i:06d}".encode())
+    return rheads, refs, tax, qheads, reads
+
+
+def _amplicon_stage(deadline):
+    """Second metric line: 292bp amplicon CAPITALIST+LCA throughput,
+    pure host (cannot wedge). Returns without emitting if the budget
+    cannot absorb an uncached DB build."""
+    import pickle
+
+    from burst_tpu.accel import build_accelerator
+    from burst_tpu.io.taxonomy import Taxonomy
+    from burst_tpu.process import process_references
+    from burst_tpu.serving import Aligner
+
+    cache = (f"/tmp/burst_bench_amp_{A_FAM}x{A_MEM}x{A_LEN}"
+             f"_{A_READS}.pkl")
+    if deadline - time.time() < (120 if os.path.exists(cache) else 700):
+        print("[bench] amplicon stage skipped (budget)", file=sys.stderr)
+        return
+    t0 = time.perf_counter()
+    rheads, refs, tax, qheads, reads = make_amplicon_workload()
+    db_bp = sum(len(r) for r in refs)
+    print(f"[bench] amplicon workload: {db_bp/1e6:.0f} Mbp 97%-"
+          f"clustered DB ({A_FAM}x{A_MEM}x{A_LEN}bp), {A_READS} "
+          f"292bp reads, gen {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    rd = acc = None
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        try:
+            with open(cache, "rb") as f:
+                rd, acc = pickle.load(f)
+        except Exception:
+            rd = acc = None
+    if rd is None:
+        rd = process_references(rheads, [r.copy() for r in refs],
+                                max_len_q=A_READ_LEN, thres=A_THRES,
+                                rebase=True, rebase_amt=320, curate=2)
+        acc = build_accelerator(rd, k=K, z=1)
+        try:
+            with open(cache + ".tmp", "wb") as f:
+                pickle.dump((rd, acc), f, protocol=5)
+            os.replace(cache + ".tmp", cache)
+        except Exception:
+            pass
+    print(f"[bench] amplicon db+acx {time.perf_counter()-t0:.0f}s "
+          f"({rd.tot_units} units), budget "
+          f"{deadline-time.time():.0f}s left", file=sys.stderr)
+    tmap = Taxonomy(list(zip(rheads, (t.encode() for t in tax))))
+    al = Aligner(rd, acc, thres=A_THRES, mode="CAPITALIST", do_rc=True,
+                 taxonomy=tmap)
+    prev = os.environ.get("BURST_TPU_HOST")
+    os.environ["BURST_TPU_HOST"] = "1"
+    try:
+        al.align_batch(qheads, [r.copy() for r in reads])   # warm
+        t0 = time.perf_counter()
+        rows = al.align_batch(qheads,
+                              [r.copy() for r in reads]).count(b"\n")
+        dt = time.perf_counter() - t0
+    finally:
+        if prev is None:
+            os.environ.pop("BURST_TPU_HOST", None)
+        else:
+            os.environ["BURST_TPU_HOST"] = prev
+    rps = A_READS / dt
+    rec = {
+        "metric": f"292bp amplicons aligned/sec at 97% id, CAPITALIST"
+                  f"+LCA taxonomy, both strands (accel k={K}, "
+                  f"{db_bp/1e6:.0f} Mbp 97%-clustered DB, {rows} "
+                  f"assignments)",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / A_BASELINE, 3),
+        "device_s": 0.0,
+        "mfu": 0.0,
+        "path": "host",
+    }
+    print(json.dumps(rec), flush=True)
+    try:
+        with open(_side_path(), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
+    print(f"[bench] amplicon pass {dt:.1f}s ({rps:.0f} reads/s "
+          f"all-CPU)", file=sys.stderr)
+
+
 def _side_path():
     return os.environ.get("BENCH_SIDE", "/tmp/burst_bench_lines.jsonl")
 
@@ -189,8 +320,11 @@ def _emit(reads_per_sec, db_bp, n_pairs, gcups, n_rows, device_s, mfu,
 
 
 def _best_side_line():
-    """Best metric recorded so far: non-provisional lines beat
-    provisional ones, then higher value wins. None if no side file."""
+    """Best HEADLINE (100bp shotgun) metric recorded so far:
+    non-provisional lines beat provisional ones, then higher value
+    wins. Secondary metric lines (the amplicon config) stay on the
+    record but never become the run's final line. None if no side
+    file."""
     best = None
     try:
         with open(_side_path()) as f:
@@ -198,6 +332,8 @@ def _best_side_line():
                 try:
                     rec = json.loads(line)
                 except ValueError:
+                    continue
+                if not str(rec.get("metric", "")).startswith("100bp"):
                     continue
                 key = (not rec.get("provisional"), rec.get("value", 0))
                 if best is None or key > (not best.get("provisional"),
@@ -336,6 +472,10 @@ def main():
         print(f"[bench] host full pass {dt_h:.1f}s "
               f"({floor_rps:.0f} reads/s all-CPU), budget "
               f"{deadline-time.time():.0f}s left", file=sys.stderr)
+    # ---- second headline: the amplicon configuration (host-only) ----
+    if os.environ.get("BENCH_AMPLICON", "1") not in ("0", "off"):
+        _amplicon_stage(deadline)
+
     if host_forced:
         os.environ["BURST_TPU_HOST"] = "1"
         print("[bench] host-forced: skipping device stage",

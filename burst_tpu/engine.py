@@ -1788,6 +1788,14 @@ def expand_visit_pairs(qd: QueryData, rd: RefData, visits: Visits):
     """Expand visit clump lists into (unibin, unit) pair arrays, with
     the sound lane-level pruning applied (see accel_candidates)."""
     nj = len(qd.seqs)
+    from .native import expand_pairs_native
+    got = expand_pairs_native(
+        visits.offs, visits.flat, nj, rd.tot_units, VECSZ,
+        visits.filtered if visits.pass_keys is not None else None,
+        visits.bad_clump if visits.pass_keys is not None else None,
+        visits.pass_keys)
+    if got is not None:
+        return got
     nvis = visits.offs[1:] - visits.offs[:-1]
     qrep = np.repeat(np.arange(nj, dtype=np.int64), nvis)
     lane = np.arange(VECSZ, dtype=np.int64)

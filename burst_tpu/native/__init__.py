@@ -111,6 +111,14 @@ def load_host():
         lib.unit_prefilter_fetch.argtypes = [_I64P]
         lib.dupe_filter.argtypes = [
             _I64P, ctypes.c_long, _I64P, _U32P, _I64P, _U8P]
+        lib.expand_pairs_count.restype = ctypes.c_long
+        lib.expand_pairs_count.argtypes = [
+            _I64P, _I64P, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            _U8P, _U8P, _I64P, ctypes.c_long]
+        lib.expand_pairs_fill.restype = ctypes.c_long
+        lib.expand_pairs_fill.argtypes = [
+            _I64P, _I64P, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            _U8P, _U8P, _I64P, ctypes.c_long, _I64P, _I64P]
         lib.capitalist_select.argtypes = [
             _I64P, ctypes.c_long, _I64P, _I64P, _I64P, _I64P]
         lib.build_peq16.argtypes = [
@@ -295,6 +303,37 @@ def scour_native(qmat, qlens, b0, b1, qbunch, k, aq_off, aq_words,
                     _ptr(mcnt, _I64P), _ptr(ukeys, _I64P))
     return (bflat[:nb], bhits[:nb], bcnt[:n_bunches], mflat[:nm],
             mcnt[:b1], ukeys[:nu] if u_csr is not None else None)
+
+
+def expand_pairs_native(offs, flat, nj, tot_units, vecsz, filtered,
+                        bad_clump, pass_keys):
+    """Native visit-pair expansion + lane-level pruning; (pj, pp) or
+    None when the library is unavailable. filtered/bad_clump/pass_keys
+    may be None (no pruning)."""
+    lib = load_host()
+    if lib is None:
+        return None
+    offs = np.ascontiguousarray(offs, np.int64)
+    flat = np.ascontiguousarray(flat, np.int64)
+    if pass_keys is None or filtered is None:
+        filt_p = badc_p = None
+        keys = np.zeros(1, np.int64)
+        n_pass = 0
+    else:
+        filtered = np.ascontiguousarray(filtered, np.uint8)
+        bad_clump = np.ascontiguousarray(bad_clump, np.uint8)
+        keys = np.ascontiguousarray(
+            pass_keys if len(pass_keys) else np.zeros(1), np.int64)
+        n_pass = len(pass_keys)
+        filt_p = _ptr(filtered, _U8P)
+        badc_p = _ptr(bad_clump, _U8P)
+    args = (_ptr(offs, _I64P), _ptr(flat, _I64P), nj, tot_units,
+            vecsz, filt_p, badc_p, _ptr(keys, _I64P), n_pass)
+    n = lib.expand_pairs_count(*args)
+    pj = np.empty(max(n, 1), np.int64)
+    pp = np.empty(max(n, 1), np.int64)
+    lib.expand_pairs_fill(*args, _ptr(pj, _I64P), _ptr(pp, _I64P))
+    return pj[:n], pp[:n]
 
 
 def dupe_filter_native(offs, mapped, start, ql2s) -> np.ndarray | None:

@@ -223,6 +223,11 @@ long scour_run(
         std::vector<uint32_t> fu; fu.reserve(4096);
         std::vector<int32_t> fc; fc.reserve(256);
         std::vector<int64_t> fm; fm.reserve(256);
+        // generic-path flattened unit spans + per-member word buckets
+        std::vector<uint32_t> fuu; fuu.reserve(4096);
+        std::vector<int64_t> fuo;
+        std::vector<std::vector<int64_t>> mwl(
+            (size_t)std::max<long>(qbunch, 1));
 
 #pragma omp for schedule(static)
         for (long g = 0; g < n_bunches; ++g) {
@@ -403,23 +408,43 @@ long scour_run(
                     if (c && s >= 0) __builtin_prefetch(&u_ids[s]);
                 }
             }
-            // clump hit accumulation in word order
-            for (size_t i = 0; i < nw; ++i) {
-                int64_t c = pc[i], m = uwt[i];
-                if (!c) continue;
-                if (ps[i] < 0) {
-                    int64_t cl = pid[i];
-                    if (!hits[cl]) touched.push_back(cl);
-                    int64_t h = (int64_t)hits[cl] + m;
-                    hits[cl] = (int32_t)std::min<int64_t>(h, 0xFFFF);
-                    continue;
+            // clump hit accumulation in word order: flatten the
+            // spans (span D ahead prefetched), then accumulate with
+            // the counter lines prefetched PF entries ahead -- same
+            // scheme as the fast path
+            fu.clear(); fc.clear(); fm.clear();
+            {
+                const size_t D = 8;
+                for (size_t i = 0; i < nw; ++i) {
+                    if (i + D < nw && pc[i + D] && ps[i + D] >= 0) {
+                        const uint32_t* p0 = &ids[ps[i + D]];
+                        for (long o = 0; o < pc[i + D]; o += 16)
+                            __builtin_prefetch(p0 + o);
+                    }
+                    int64_t c = pc[i];
+                    if (!c) continue;
+                    if (ps[i] < 0) {
+                        fu.push_back((uint32_t)pid[i]);
+                    } else {
+                        const uint32_t* p0 = &ids[ps[i]];
+                        fu.insert(fu.end(), p0, p0 + c);
+                    }
+                    fc.push_back((int32_t)c);
+                    fm.push_back(uwt[i]);
                 }
-                int64_t s = ps[i];
-                for (int64_t p = s; p < s + c; ++p) {
-                    int64_t cl = ids[p];
-                    if (!hits[cl]) touched.push_back(cl);
-                    int64_t h = (int64_t)hits[cl] + m;
-                    hits[cl] = (int32_t)std::min<int64_t>(h, 0xFFFF);
+                const size_t PF = 24;
+                size_t gi = 0;
+                const size_t tot = fu.size();
+                for (size_t si = 0; si < fc.size(); ++si) {
+                    int64_t m = fm[si];
+                    for (int32_t p = 0; p < fc[si]; ++p, ++gi) {
+                        if (gi + PF < tot)
+                            __builtin_prefetch(&hits[fu[gi + PF]]);
+                        int64_t cl = (int64_t)fu[gi];
+                        if (!hits[cl]) touched.push_back(cl);
+                        int64_t h = (int64_t)hits[cl] + m;
+                        hits[cl] = (int32_t)std::min<int64_t>(h, 0xFFFF);
+                    }
                 }
             }
             }
@@ -471,40 +496,73 @@ long scour_run(
                 std::sort(t_ukeys[tid].begin() + k0,
                           t_ukeys[tid].end());
                 if (g_prof) c_emit += rdtsc() - t6p;
-            } else if (do_unit) {
-                for (long j = std::max(j_lo, b0); j < j_hi; ++j) {
-                    int64_t mrel = j - j_lo;
-                    utouched.clear();
-                    size_t mix = 0;
-                    for (size_t i = 0; i < nw; ++i) {
-                        int64_t m = 0;
-                        for (int64_t t = 0; t < umcnt[i]; ++t, ++mix)
-                            if ((umemb[mix] >> 32) == mrel)
-                                m = umemb[mix] & 0xFFFFFFFF;
-                        int64_t c = upc[i];
-                        if (!m || !c) continue;
+            } else if (do_unit && std::max(j_lo, b0) < j_hi) {
+                // flatten each word's unit postings ONCE (they are
+                // re-walked per member below) and bucket the (word,
+                // count) entries per member: the old form rescanned
+                // every word's member list for every member
+                // (O(words x members)) and re-missed the postings
+                // array on every member's walk
+                fuo.assign(nw + 1, 0);
+                fuu.clear();
+                const size_t D = 8;
+                for (size_t i = 0; i < nw; ++i) {
+                    if (i + D < nw && upc[i + D] && ups[i + D] >= 0) {
+                        const uint32_t* p0 = &u_ids[ups[i + D]];
+                        for (long o = 0; o < upc[i + D]; o += 16)
+                            __builtin_prefetch(p0 + o);
+                    }
+                    int64_t c = upc[i];
+                    if (c) {
                         if (ups[i] < 0) {
-                            int64_t u = upid[i];
-                            if (!uh[u]) utouched.push_back(u);
-                            uh[u] = (int32_t)std::min<int64_t>(
-                                (int64_t)uh[u] + m, 0x7FFFFFFF);
-                            continue;
+                            fuu.push_back((uint32_t)upid[i]);
+                        } else {
+                            const uint32_t* p0 = &u_ids[ups[i]];
+                            fuu.insert(fuu.end(), p0, p0 + c);
                         }
-                        int64_t s = ups[i];
-                        for (int64_t p = s; p < s + c; ++p) {
-                            int64_t u = u_ids[p];
+                    }
+                    fuo[i + 1] = (int64_t)fuu.size();
+                }
+                for (long r = 0; r < qbunch; ++r) mwl[r].clear();
+                {
+                    size_t mix = 0;
+                    for (size_t i = 0; i < nw; ++i)
+                        for (int64_t t = 0; t < umcnt[i]; ++t, ++mix)
+                            mwl[umemb[mix] >> 32].push_back(
+                                ((int64_t)i << 32) |
+                                (umemb[mix] & 0xFFFFFFFF));
+                }
+                for (long j = std::max(j_lo, b0); j < j_hi; ++j) {
+                    long mrel = j - j_lo;
+                    utouched.clear();
+                    const int64_t PF = 16;
+                    auto& lst = mwl[mrel];
+                    for (size_t e = 0; e < lst.size(); ++e) {
+                        size_t i = (size_t)(lst[e] >> 32);
+                        int64_t m = lst[e] & 0xFFFFFFFF;
+                        if (e + 1 < lst.size())
+                            __builtin_prefetch(
+                                &fuu[fuo[lst[e + 1] >> 32]]);
+                        for (int64_t p = fuo[i]; p < fuo[i + 1]; ++p) {
+                            if (p + PF < fuo[i + 1])
+                                __builtin_prefetch(&uh[fuu[p + PF]]);
+                            int64_t u = (int64_t)fuu[p];
                             if (!uh[u]) utouched.push_back(u);
                             uh[u] = (int32_t)std::min<int64_t>(
                                 (int64_t)uh[u] + m, 0x7FFFFFFF);
                         }
                     }
-                    std::sort(utouched.begin(), utouched.end());
+                    // emit the PASSING units sorted (ascending-key
+                    // contract); resets stay walk-ordered
                     int64_t thr2 = mm_inner[j];
+                    size_t k0 = t_ukeys[tid].size();
                     for (int64_t u : utouched) {
                         if (uh[u] > thr2)
                             t_ukeys[tid].push_back(j * tot_units + u);
                         uh[u] = 0;
                     }
+                    std::sort(t_ukeys[tid].begin() + k0,
+                              t_ukeys[tid].end());
                 }
             }
         }
@@ -643,6 +701,78 @@ void unit_prefilter_fetch(int64_t* out)
     std::memcpy(out, g_ukeys.data(), g_ukeys.size() * sizeof(int64_t));
     std::vector<int64_t>().swap(g_ukeys);
 }
+
+// ------------------------------------------------- visit-pair expansion
+// engine.expand_visit_pairs inner loop: expand per-row clump visit
+// lists into (row, unit) pairs with the sound lane-level pruning
+// applied (keep unfiltered rows, BadList clumps, and pairs passing the
+// per-unit pigeonhole -- pass_keys is the sorted j*tot_units+u list).
+// The numpy form materializes |visits|*VECSZ lane arrays (tens of
+// millions of int64 at amplicon candidate densities) before filtering;
+// this walks once to count and once to fill.
+static long expand_pairs_walk(
+    const int64_t* offs, const int64_t* flat, long nj, long tot_units,
+    long vecsz, const uint8_t* filtered, const uint8_t* bad_clump,
+    const int64_t* pass_keys, long n_pass,
+    int64_t* pj, int64_t* pp)
+{
+    long n = 0;
+    long seg_lo = 0;
+    for (long j = 0; j < nj; ++j) {
+        bool filt = filtered && filtered[j];
+        // pass_keys segment for row j (keys ascending; rows ascending)
+        long seg_hi = seg_lo;
+        if (filt) {
+            const int64_t up = (int64_t)(j + 1) * tot_units;
+            seg_hi = (long)(std::lower_bound(pass_keys + seg_lo,
+                                             pass_keys + n_pass, up)
+                            - pass_keys);
+        }
+        for (int64_t v = offs[j]; v < offs[j + 1]; ++v) {
+            const int64_t base = flat[v] * vecsz;
+            bool bad = bad_clump && bad_clump[flat[v]];
+            for (long l = 0; l < vecsz; ++l) {
+                const int64_t u = base + l;
+                if (u >= tot_units) break;
+                if (filt && !bad) {
+                    const int64_t key = (int64_t)j * tot_units + u;
+                    const int64_t* lo = std::lower_bound(
+                        pass_keys + seg_lo, pass_keys + seg_hi, key);
+                    if (lo == pass_keys + seg_hi || *lo != key)
+                        continue;
+                }
+                if (pj) { pj[n] = j; pp[n] = u; }
+                ++n;
+            }
+        }
+        if (filt) seg_lo = seg_hi;
+    }
+    return n;
+}
+
+extern "C" {
+
+long expand_pairs_count(
+    const int64_t* offs, const int64_t* flat, long nj, long tot_units,
+    long vecsz, const uint8_t* filtered, const uint8_t* bad_clump,
+    const int64_t* pass_keys, long n_pass)
+{
+    return expand_pairs_walk(offs, flat, nj, tot_units, vecsz,
+                             filtered, bad_clump, pass_keys, n_pass,
+                             nullptr, nullptr);
+}
+
+long expand_pairs_fill(
+    const int64_t* offs, const int64_t* flat, long nj, long tot_units,
+    long vecsz, const uint8_t* filtered, const uint8_t* bad_clump,
+    const int64_t* pass_keys, long n_pass, int64_t* pj, int64_t* pp)
+{
+    return expand_pairs_walk(offs, flat, nj, tot_units, vecsz,
+                             filtered, bad_clump, pass_keys, n_pass,
+                             pj, pp);
+}
+
+}  // extern "C"
 
 // ----------------------------------------------- duplicate suppression
 // The reference's DUPE_HUNT (burst.c:4563-4580): within each group

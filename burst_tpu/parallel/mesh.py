@@ -141,6 +141,63 @@ def _pad_peq_q(peq, q_shards: int):
     return peq, rq
 
 
+def _pow2(n: int, lo: int = 16) -> int:
+    """Next power of two >= n (>= lo): buckets the per-batch routing
+    shapes so the jitted shard_map functions below hit their compile
+    cache across batches instead of retracing on every distinct pair
+    count."""
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("W", "mesh"))
+def _pairs_scan_sharded(peq, tiles, pidx_m, tloc_m, W: int, mesh: Mesh):
+    """Routed phase-A pair scan on the (q x db) mesh. Module-level and
+    jitted with (W, mesh) static: one compile per (mesh, W, shape
+    bucket) for the process lifetime -- NOT per call (the round-4
+    version rebuilt jit(shard_map) inside the per-W loop, paying a
+    retrace + dispatch rebuild every batch; SCALING_SHARDS1_r04's 29x
+    overhead was mostly that)."""
+    def per_shard(peq_l, tiles_l, pidx_l, tloc_l):
+        return myers.myers_min_ed_gather_pos(
+            peq_l, tiles_l, pidx_l[0, 0], tloc_l[0, 0], W)[None, None]
+
+    return jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("q", None, None), P("db", None),
+                  P("q", "db", None), P("q", "db", None)),
+        out_specs=P("q", "db", None, None),
+        check_vma=False)(peq, tiles, pidx_m, tloc_m)
+
+
+@functools.lru_cache(maxsize=None)
+def _rescore_sharded_fn(mesh: Mesh, W: int, smat_key: bytes,
+                        smat_shape: tuple):
+    """Compiled routed phase-B rescore for (mesh, W, score-matrix);
+    cached for the process lifetime (same rationale as
+    _pairs_scan_sharded)."""
+    from ..kernels.rescore import make_rescore
+
+    smat = np.frombuffer(smat_key, dtype=np.uint8).reshape(smat_shape)
+    core = make_rescore(smat)
+
+    def per_shard(peq_l, tiles_l, pidx_l, tloc_l, qlen_l, bnd_l):
+        pq = jnp.take(peq_l, pidx_l[0, 0], axis=0)
+        tl = jnp.take(tiles_l, tloc_l[0, 0], axis=0)
+        return jnp.stack(core(pq, qlen_l[0, 0], tl, bnd_l[0, 0],
+                              W))[None, None]
+
+    return jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("q", None, None), P("db", None),
+                  P("q", "db", None), P("q", "db", None),
+                  P("q", "db", None), P("q", "db", None)),
+        out_specs=P("q", "db", None, None),
+        check_vma=False))
+
+
 def _stat_add(stats, key, val):
     if stats is not None:
         stats[key] = stats.get(key, 0.0) + val
@@ -199,6 +256,11 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
         t0 = _time.perf_counter()
         sel = order[qws == W]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
+        # bucket the query-row count too (same compile-cache argument)
+        Rp = _pow2(peq.shape[0])
+        if Rp != peq.shape[0]:
+            peq = np.concatenate([np.asarray(peq), np.zeros(
+                (Rp - peq.shape[0],) + peq.shape[1:], peq.dtype)])
         peq, rq = _pad_peq_interleave_q(peq, q_shards)
         tiles_dev, starts, _, lp = _sharded_tiles(
             rd, n_shards, 32,
@@ -210,7 +272,7 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
         tloc = pp[sel] - starts[ds]
         nsh = q_shards * n_shards
         counts = np.bincount(shard, minlength=nsh)
-        pmax = max(int(counts.max()), 1)
+        pmax = _pow2(max(int(counts.max()), 1))
         pidx_m = np.zeros((q_shards, n_shards, pmax), np.int32)
         tloc_m = np.zeros((q_shards, n_shards, pmax), np.int32)
         so = np.argsort(shard, kind="stable")
@@ -220,22 +282,11 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
         pidx_m[qs, ds, pos_in_shard] = (qrow // q_shards).astype(np.int32)
         tloc_m[qs, ds, pos_in_shard] = tloc.astype(np.int32)
         _stat_pairs(stats, shard, nsh)
-
-        def per_shard(peq_l, tiles_l, pidx_l, tloc_l):
-            return myers.myers_min_ed_gather_pos(
-                peq_l, tiles_l, pidx_l[0, 0], tloc_l[0, 0],
-                int(W))[None, None]
-
-        fn = jax.jit(jax.shard_map(
-            per_shard, mesh=mesh,
-            in_specs=(P("q", None, None), P("db", None),
-                      P("q", "db", None), P("q", "db", None)),
-            out_specs=P("q", "db", None, None),
-            check_vma=False))
         t1 = _time.perf_counter()
         _stat_add(stats, "route_s", t1 - t0)
-        out = np.asarray(fn(jnp.asarray(peq), tiles_dev,
-                            jnp.asarray(pidx_m), jnp.asarray(tloc_m)))
+        out = np.asarray(_pairs_scan_sharded(
+            jnp.asarray(peq), tiles_dev, jnp.asarray(pidx_m),
+            jnp.asarray(tloc_m), int(W), mesh))
         t2 = _time.perf_counter()
         _stat_add(stats, "scan_s", t2 - t1)
         sed.pe[sel] = np.minimum(out[qs, ds, 0, pos_in_shard], 255)
@@ -260,8 +311,7 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
     import time as _time
 
     from .. import engine
-    from ..kernels.rescore import _CACHE, make_rescore, \
-        rescore_finalize_host
+    from ..kernels.rescore import rescore_finalize_host
 
     mesh = make_mesh2(n_shards, q_shards)
     n = len(juni)
@@ -278,13 +328,15 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
     qmat, qlens_all, qw_all = engine._query_matrix(qd)
     qws = qw_all[juni] if n else np.zeros(0, np.int64)
     order = np.arange(n)
-    core = _CACHE.get(smat.tobytes())
-    if core is None:
-        core = _CACHE[smat.tobytes()] = make_rescore(smat)
     for W in (np.unique(qws) if n else ()):
         t0 = _time.perf_counter()
         sel = order[qws == W]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
+        # bucket the query-row count too (same compile-cache argument)
+        Rp = _pow2(peq.shape[0])
+        if Rp != peq.shape[0]:
+            peq = np.concatenate([np.asarray(peq), np.zeros(
+                (Rp - peq.shape[0],) + peq.shape[1:], peq.dtype)])
         peq, rq = _pad_peq_interleave_q(peq, q_shards)
         m_pad = int(W) * 32
         tiles_dev, starts, _, lp = _sharded_tiles(
@@ -296,7 +348,7 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
         shard = qs * n_shards + ds
         tloc = refpos[sel] - starts[ds]
         counts = np.bincount(shard, minlength=q_shards * n_shards)
-        pmax = max(int(counts.max()), 1)
+        pmax = _pow2(max(int(counts.max()), 1))
         pidx_m = np.zeros((q_shards, n_shards, pmax), np.int32)
         tloc_m = np.zeros((q_shards, n_shards, pmax), np.int32)
         qlen_m = np.full((q_shards, n_shards, pmax), 2, np.int32)
@@ -310,19 +362,8 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
         qlen_m[qs, ds, pos_in_shard] = qlens_all[juni[sel]].astype(np.int32)
         bnd_m[qs, ds, pos_in_shard] = bound[sel].astype(np.int32)
 
-        def per_shard(peq_l, tiles_l, pidx_l, tloc_l, qlen_l, bnd_l):
-            pq = jnp.take(peq_l, pidx_l[0, 0], axis=0)
-            tl = jnp.take(tiles_l, tloc_l[0, 0], axis=0)
-            return jnp.stack(core(pq, qlen_l[0, 0], tl, bnd_l[0, 0],
-                                  int(W)))[None, None]
-
-        fn = jax.jit(jax.shard_map(
-            per_shard, mesh=mesh,
-            in_specs=(P("q", None, None), P("db", None),
-                      P("q", "db", None), P("q", "db", None),
-                      P("q", "db", None), P("q", "db", None)),
-            out_specs=P("q", "db", None, None),
-            check_vma=False))
+        fn = _rescore_sharded_fn(mesh, int(W), smat.tobytes(),
+                                 smat.shape)
         _stat_pairs(stats, shard, q_shards * n_shards)
         t1 = _time.perf_counter()
         _stat_add(stats, "route_s", t1 - t0)
