@@ -37,6 +37,7 @@ Tracking is off by default and costs one `is None` check per fetch.
 from __future__ import annotations
 
 import contextlib
+import functools
 import os
 import sys
 import threading
@@ -153,6 +154,57 @@ def probe(timeout_s: float = 60.0) -> bool:
         mark_dead(f"probe exceeded {timeout_s:.0f}s")
         return False
     return bool(box[0])
+
+
+def put_chunked(arr, max_bytes: int | None = None):
+    """Upload a large host array to the device in restartable slices.
+
+    The fused path's one-time device state (packed tile matrix,
+    postings ids) is ~GBs; a single jnp.asarray of it is one giant
+    transfer that a tunnel stall kills wholesale, leaves the
+    supervisor's liveness counters silent for minutes, and cannot be
+    watched. This splits the transfer into row slices written into a
+    DONATED device buffer via dynamic_update_slice (no 2x staging), so
+    each slice is a short RPC: progress is visible (BURST_TPU_INIT_LOG=1),
+    a mid-init stall costs one slice's worth of retry window instead of
+    the whole state, and the per-fetch watchdog gets a chance to fire
+    between slices. Chunk size: BURST_TPU_PUT_CHUNK_MB (default 64)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    arr = np.ascontiguousarray(arr)
+    if max_bytes is None:
+        max_bytes = int(float(os.environ.get(
+            "BURST_TPU_PUT_CHUNK_MB", "64")) * (1 << 20))
+    if arr.nbytes <= max_bytes or arr.ndim == 0 or arr.shape[0] < 2:
+        return jnp.asarray(arr)
+    rows = max(1, int(max_bytes // max(1, arr.nbytes // arr.shape[0])))
+    log = os.environ.get("BURST_TPU_INIT_LOG") == "1"
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _upd(buf, chunk, i0):
+        return jax.lax.dynamic_update_slice(
+            buf, chunk, (i0,) + (0,) * (arr.ndim - 1))
+
+    buf = jnp.zeros(arr.shape, arr.dtype)
+    t0 = time.perf_counter()
+    for i0 in range(0, arr.shape[0], rows):
+        if i0 + rows > arr.shape[0]:
+            # ragged tail: re-slice a full window ending at the last
+            # row (re-sends a few rows; keeps one compiled shape)
+            i0 = arr.shape[0] - rows
+        chunk = jnp.asarray(arr[i0: i0 + rows])
+        buf = _upd(buf, chunk, i0)
+        if log:
+            done = min(i0 + rows, arr.shape[0])
+            print(f"[burst_tpu] device upload {done}/{arr.shape[0]} "
+                  f"rows ({done / arr.shape[0]:.0%}, "
+                  f"{time.perf_counter() - t0:.1f}s)",
+                  file=sys.stderr, flush=True)
+    buf.block_until_ready()
+    return buf
 
 
 @contextlib.contextmanager

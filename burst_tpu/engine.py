@@ -1619,8 +1619,10 @@ def _tiles_device_all(rd: RefData, pad: int = 32):
         # chunked native memcpy (the per-row Python loop costs minutes
         # at production unit counts; see _fill_rows)
         _fill_rows(mat, rd, np.arange(rd.tot_units, dtype=np.int64))
-        got = rd._tilealldev = (jnp.asarray(myers.pack_nibbles_np(mat)),
-                                width)
+        # chunked restartable upload (devtime.put_chunked): the packed
+        # tile matrix is the fused path's biggest one-time transfer
+        got = rd._tilealldev = (
+            devtime.put_chunked(myers.pack_nibbles_np(mat)), width)
     return got
 
 
@@ -1635,8 +1637,11 @@ def accel_scan_fused(qd: QueryData, rd: RefData, acc,
     when preconditions fail (callers run the two-step path).
 
     Preconditions: QBUNCH == 1 (the reference's many-thread regime,
-    burst.c:4019-4021), non-xalpha, a single tile length bucket, the
-    unit index with clump-grouped postings, and k <= 13. Ambiguous
+    burst.c:4019-4021), non-xalpha, a single tile length bucket, and
+    the unit index with clump-grouped postings. k up to 15 is
+    supported: k <= 13 uses the dense device rank table, 14/15 the
+    sorted-word binary search (ScourTables; fused-path equality at
+    k=15 covered by test_fused_scan_matches_two_step_k15). Ambiguous
     rows, BadList clump units, device-overflow rows, and full-scan rows
     are still evaluated through the host-dispatch path, overlapping the
     device chain.

@@ -515,21 +515,22 @@ class ScourTables:
     def __init__(self, u_csr, span: int, dense: bool):
         import jax.numpy as jnp
         n_nz = len(u_csr.nzw)
+        from .. import devtime
         if dense:
             rank = np.zeros(span, dtype=np.int32)
             rank[u_csr.nzw] = np.arange(1, n_nz + 1, dtype=np.int32)
-            self.rank = jnp.asarray(rank)
+            self.rank = devtime.put_chunked(rank)
             self.nzw = None
         else:
             self.rank = jnp.zeros(1, jnp.int32)   # unused placeholder
-            self.nzw = jnp.asarray(u_csr.nzw.astype(np.int32))
+            self.nzw = devtime.put_chunked(u_csr.nzw.astype(np.int32))
         start = np.zeros(n_nz + 1, dtype=np.int32)
         start[1:] = u_csr.start.astype(np.int32)
         cnt = np.zeros(n_nz + 1, dtype=np.int32)
         cnt[1:] = u_csr.cnt.astype(np.int32)
-        self.start = jnp.asarray(start)
-        self.cnt = jnp.asarray(cnt)
-        self.ids = jnp.asarray(u_csr.ids.astype(np.int32))
+        self.start = devtime.put_chunked(start)
+        self.cnt = devtime.put_chunked(cnt)
+        self.ids = devtime.put_chunked(u_csr.ids.astype(np.int32))
 
 
 _TABLES_LOCK = __import__("threading").Lock()

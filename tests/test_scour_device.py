@@ -134,6 +134,27 @@ def test_fused_scan_matches_two_step():
     # end-to-end b6 test below.
 
 
+def test_fused_scan_matches_two_step_k15():
+    """The production DB15 configuration through the FUSED chain: the
+    scour lookups take the sorted-nonzero-word binary-search path (no
+    dense rank table at 4^15), everything else identical. VERDICT-r4
+    item 8."""
+    from burst_tpu.alphabet import score_matrix
+
+    qd, rd, acc, qbins = _workload(seed=29, k=15, n_reads=200)
+    smat = score_matrix()
+    ref_vis = _visits_with(qd, rd, acc, qbins, dev=False)
+    ref_sed = engine.compute_ed_matrix_accel(qd, rd, ref_vis, smat)
+    got = _fused_scan(qd, rd, acc, qbins)
+    assert got is not None
+    vis, sed = got
+    _assert_visits_equal(ref_vis, vis)
+    nj = len(qd.seqs)
+    ref_d = engine.densify(ref_sed, nj, rd.tot_units)
+    got_d = engine.densify(sed.materialize(), nj, rd.tot_units)
+    np.testing.assert_array_equal(ref_d, got_d)
+
+
 def test_fused_scan_overflow():
     from burst_tpu.alphabet import score_matrix
 
