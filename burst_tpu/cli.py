@@ -371,7 +371,8 @@ def run(a) -> int:
             from .parallel.mesh import rescore_winners_sharded
             pods = rescore_winners_sharded(qd, rd, juni, refpos, eds,
                                            a["mode"], smat, a["shards"],
-                                           pod_order, a["qshards"])
+                                           pod_order, a["qshards"],
+                                           win_cols=win_cols)
         else:
             pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
                                           a["mode"], smat, pod_order,

@@ -142,12 +142,16 @@ def _pad_peq_q(peq, q_shards: int):
 
 
 def _pow2(n: int, lo: int = 16) -> int:
-    """Next power of two >= n (>= lo): buckets the per-batch routing
-    shapes so the jitted shard_map functions below hit their compile
-    cache across batches instead of retracing on every distinct pair
-    count."""
+    """Next size in {2^k, 3*2^(k-1)} >= n (>= lo): buckets the
+    per-batch routing shapes so the jitted shard_map functions below
+    hit their compile cache across batches instead of retracing on
+    every distinct pair count; the 3*2^(k-1) midpoints cap the padding
+    waste at 33% (plain pow2 wastes up to 2x, which showed up directly
+    in the shards=1 rescore wall time)."""
     p = lo
     while p < n:
+        if p + (p >> 1) >= n:
+            return p + (p >> 1)
         p <<= 1
     return p
 
@@ -174,10 +178,12 @@ def _pairs_scan_sharded(peq, tiles, pidx_m, tloc_m, W: int, mesh: Mesh):
 
 @functools.lru_cache(maxsize=None)
 def _rescore_sharded_fn(mesh: Mesh, W: int, smat_key: bytes,
-                        smat_shape: tuple):
+                        smat_shape: tuple, levels: int | None = None,
+                        rows: int | None = None):
     """Compiled routed phase-B rescore for (mesh, W, score-matrix);
     cached for the process lifetime (same rationale as
-    _pairs_scan_sharded)."""
+    _pairs_scan_sharded). `levels`/`rows` narrow the chain look-back
+    and the row count exactly as the plain path does."""
     from ..kernels.rescore import make_rescore
 
     smat = np.frombuffer(smat_key, dtype=np.uint8).reshape(smat_shape)
@@ -187,13 +193,47 @@ def _rescore_sharded_fn(mesh: Mesh, W: int, smat_key: bytes,
         pq = jnp.take(peq_l, pidx_l[0, 0], axis=0)
         tl = jnp.take(tiles_l, tloc_l[0, 0], axis=0)
         return jnp.stack(core(pq, qlen_l[0, 0], tl, bnd_l[0, 0],
-                              W))[None, None]
+                              W, levels, rows))[None, None]
 
     return jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P("q", None, None), P("db", None),
                   P("q", "db", None), P("q", "db", None),
                   P("q", "db", None), P("q", "db", None)),
+        out_specs=P("q", "db", None, None),
+        check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _rescore_sharded_win_fn(mesh: Mesh, W: int, Lw: int,
+                            smat_key: bytes, smat_shape: tuple,
+                            levels: int | None = None,
+                            rows: int | None = None):
+    """Windowed variant of _rescore_sharded_fn: each pair's DP runs on
+    its [Lw-1]-column window starting at the routed x0 (same soundness
+    as engine.rescore_winners' windowed subset: the window covers every
+    optimal path implied by the phase-A first/last best columns plus
+    the error-budget margin). Cuts the per-pair DP from the full slab
+    width (~lmax+pad columns) to ~rows+budget columns -- the full-width
+    form made the sharded rescore 30x the plain path's cost."""
+    from ..kernels.rescore import _window_tiles, make_rescore
+
+    smat = np.frombuffer(smat_key, dtype=np.uint8).reshape(smat_shape)
+    core = make_rescore(smat)
+
+    def per_shard(peq_l, tiles_l, pidx_l, tloc_l, qlen_l, bnd_l, x0_l):
+        pq = jnp.take(peq_l, pidx_l[0, 0], axis=0)
+        tl = jnp.take(tiles_l, tloc_l[0, 0], axis=0)
+        win = _window_tiles(tl, x0_l[0, 0], Lw)
+        return jnp.stack(core(pq, qlen_l[0, 0], win, bnd_l[0, 0],
+                              W, levels, rows))[None, None]
+
+    return jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("q", None, None), P("db", None),
+                  P("q", "db", None), P("q", "db", None),
+                  P("q", "db", None), P("q", "db", None),
+                  P("q", "db", None)),
         out_specs=P("q", "db", None, None),
         check_vma=False))
 
@@ -299,19 +339,24 @@ def compute_ed_matrix_accel_sharded(qd, rd, visits, smat,
 def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
                             n_shards: int, pod_order=None,
                             q_shards: int = 1,
-                            stats: dict | None = None):
+                            stats: dict | None = None,
+                            win_cols=None):
     """Phase B with winners routed to the (q, db) shard owning their
     (query block, unit slab).
 
-    Per-shard full-width tie-aware rescore (kernels/rescore core) over
-    the same sharded tile slabs; merged host-side into Pods identical
-    to engine.rescore_winners. `stats` accumulates route_s/scan_s/
-    merge_s/pairs_per_shard as in compute_ed_matrix_accel_sharded.
+    Per-shard tie-aware rescore (kernels/rescore core) over the same
+    sharded tile slabs; merged host-side into Pods identical to
+    engine.rescore_winners. With `win_cols` (the phase-A first/last
+    best columns, SparseED.lookup_cols) each pair that fits runs on its
+    [Lw-1]-column window exactly like the plain path -- without it the
+    full-slab-width DP costs ~30x (round-5 probe). `stats` accumulates
+    route_s/scan_s/merge_s/pairs_per_shard as in
+    compute_ed_matrix_accel_sharded.
     """
     import time as _time
 
     from .. import engine
-    from ..kernels.rescore import rescore_finalize_host
+    from ..kernels.rescore import _levels_for, rescore_finalize_host
 
     mesh = make_mesh2(n_shards, q_shards)
     n = len(juni)
@@ -328,9 +373,28 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
     qmat, qlens_all, qw_all = engine._query_matrix(qd)
     qws = qw_all[juni] if n else np.zeros(0, np.int64)
     order = np.arange(n)
-    for W in (np.unique(qws) if n else ()):
+    # per-pair window offsets + the exact-match shortcut, both
+    # engine.rescore_winners' formulas (ED==0 winners skip the DP:
+    # score 1.0, final position from the phase-A last best column)
+    todo = np.ones(n, dtype=bool)
+    x0_all = np.full(n, -1, dtype=np.int64)
+    span_all = np.zeros(n, dtype=np.int64)
+    if win_cols is not None and n:
+        first_m = np.asarray(win_cols[0], dtype=np.int64)
+        last_m = np.asarray(win_cols[1], dtype=np.int64)
+        skip = (out_ed == 0) & (last_m > 0)
+        if skip.any():
+            score[skip] = np.float32(1.0)
+            fpos[skip] = last_m[skip] - \
+                (qws[skip] * 32 - qlens_all[juni[skip]])
+            todo &= ~skip
+        known = (first_m > 0) & (last_m > 0)
+        x0c = np.maximum(first_m - qws * 32 - bound - 1, 0)
+        x0_all[known] = x0c[known]
+        span_all[known] = (last_m - first_m)[known]
+    for W in (np.unique(qws[todo]) if n else ()):
         t0 = _time.perf_counter()
-        sel = order[qws == W]
+        wsel = order[todo & (qws == W)]
         row2local, peq = engine._peq_cache(qd, int(W), smat)
         # bucket the query-row count too (same compile-cache argument)
         Rp = _pow2(peq.shape[0])
@@ -342,46 +406,82 @@ def rescore_winners_sharded(qd, rd, juni, refpos, eds, mode, smat,
         tiles_dev, starts, _, lp = _sharded_tiles(
             rd, n_shards, m_pad,
             weights=np.bincount(refpos, minlength=rd.tot_units))
-        qrow = row2local[juni[sel]]
-        qs = qrow % q_shards
-        ds = np.searchsorted(starts, refpos[sel], side="right") - 1
-        shard = qs * n_shards + ds
-        tloc = refpos[sel] - starts[ds]
-        counts = np.bincount(shard, minlength=q_shards * n_shards)
-        pmax = _pow2(max(int(counts.max()), 1))
-        pidx_m = np.zeros((q_shards, n_shards, pmax), np.int32)
-        tloc_m = np.zeros((q_shards, n_shards, pmax), np.int32)
-        qlen_m = np.full((q_shards, n_shards, pmax), 2, np.int32)
-        bnd_m = np.zeros((q_shards, n_shards, pmax), np.int32)
-        so = np.argsort(shard, kind="stable")
-        off = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        pos_in_shard = np.empty(len(sel), np.int64)
-        pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
-        pidx_m[qs, ds, pos_in_shard] = (qrow // q_shards).astype(np.int32)
-        tloc_m[qs, ds, pos_in_shard] = tloc.astype(np.int32)
-        qlen_m[qs, ds, pos_in_shard] = qlens_all[juni[sel]].astype(np.int32)
-        bnd_m[qs, ds, pos_in_shard] = bound[sel].astype(np.int32)
-
-        fn = _rescore_sharded_fn(mesh, int(W), smat.tobytes(),
-                                 smat.shape)
-        _stat_pairs(stats, shard, q_shards * n_shards)
+        peq_d = jnp.asarray(peq)
+        bmax = int(bound[wsel].max()) if len(wsel) else 0
+        qmax = int(qlens_all[juni[wsel]].max()) if len(wsel) else 2
+        rows_g = min(m_pad, -(-qmax // 8) * 8)
+        levels = _levels_for(bound[wsel])
+        Lw = -(-(rows_g + bmax + 2) // 128) * 128
+        L1_full = -(-(lp + 1) // 128) * 128
+        fits = (x0_all[wsel] >= 0) & \
+            (span_all[wsel] <= Lw - 1 - rows_g - bound[wsel] - 1)
+        if Lw >= L1_full:
+            fits &= False
         t1 = _time.perf_counter()
         _stat_add(stats, "route_s", t1 - t0)
-        out = np.asarray(fn(jnp.asarray(peq), tiles_dev,
-                            jnp.asarray(pidx_m), jnp.asarray(tloc_m),
-                            jnp.asarray(qlen_m), jnp.asarray(bnd_m)))
-        t2 = _time.perf_counter()
-        _stat_add(stats, "scan_s", t2 - t1)
-        e, gq, gr, fp, sc = rescore_finalize_host(
-            out[qs, ds, 0, pos_in_shard], out[qs, ds, 1, pos_in_shard],
-            out[qs, ds, 2, pos_in_shard], out[qs, ds, 3, pos_in_shard],
-            qlens_all[juni[sel]])
-        out_ed[sel] = e
-        gap_q[sel] = gq
-        gap_r[sel] = gr
-        fpos[sel] = fp
-        score[sel] = sc
-        _stat_add(stats, "merge_s", _time.perf_counter() - t2)
+        for sel, windowed in ((wsel[fits], True),
+                              (wsel[~fits], False)):
+            if not len(sel):
+                continue
+            _stat_add(stats, "win_pairs" if windowed else "full_pairs",
+                      float(len(sel)))
+            t0 = _time.perf_counter()
+            qrow = row2local[juni[sel]]
+            qs = qrow % q_shards
+            ds = np.searchsorted(starts, refpos[sel], side="right") - 1
+            shard = qs * n_shards + ds
+            tloc = refpos[sel] - starts[ds]
+            counts = np.bincount(shard, minlength=q_shards * n_shards)
+            pmax = _pow2(max(int(counts.max()), 1))
+            pidx_m = np.zeros((q_shards, n_shards, pmax), np.int32)
+            tloc_m = np.zeros((q_shards, n_shards, pmax), np.int32)
+            qlen_m = np.full((q_shards, n_shards, pmax), 2, np.int32)
+            bnd_m = np.zeros((q_shards, n_shards, pmax), np.int32)
+            x0_m = np.zeros((q_shards, n_shards, pmax), np.int32)
+            so = np.argsort(shard, kind="stable")
+            off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos_in_shard = np.empty(len(sel), np.int64)
+            pos_in_shard[so] = np.arange(len(sel)) - off[shard[so]]
+            pidx_m[qs, ds, pos_in_shard] = \
+                (qrow // q_shards).astype(np.int32)
+            tloc_m[qs, ds, pos_in_shard] = tloc.astype(np.int32)
+            qlen_m[qs, ds, pos_in_shard] = \
+                qlens_all[juni[sel]].astype(np.int32)
+            bnd_m[qs, ds, pos_in_shard] = bound[sel].astype(np.int32)
+            if windowed:
+                x0_m[qs, ds, pos_in_shard] = x0_all[sel].astype(np.int32)
+            _stat_pairs(stats, shard, q_shards * n_shards)
+            t1 = _time.perf_counter()
+            _stat_add(stats, "route_s", t1 - t0)
+            if windowed:
+                fn = _rescore_sharded_win_fn(
+                    mesh, int(W), int(Lw), smat.tobytes(), smat.shape,
+                    levels, rows_g)
+                out = np.asarray(fn(
+                    peq_d, tiles_dev, jnp.asarray(pidx_m),
+                    jnp.asarray(tloc_m), jnp.asarray(qlen_m),
+                    jnp.asarray(bnd_m), jnp.asarray(x0_m)))
+            else:
+                fn = _rescore_sharded_fn(mesh, int(W), smat.tobytes(),
+                                         smat.shape, None, rows_g)
+                out = np.asarray(fn(
+                    peq_d, tiles_dev, jnp.asarray(pidx_m),
+                    jnp.asarray(tloc_m), jnp.asarray(qlen_m),
+                    jnp.asarray(bnd_m)))
+            t2 = _time.perf_counter()
+            _stat_add(stats, "scan_s", t2 - t1)
+            e, gq, gr, fp, sc = rescore_finalize_host(
+                out[qs, ds, 0, pos_in_shard],
+                out[qs, ds, 1, pos_in_shard],
+                out[qs, ds, 2, pos_in_shard],
+                out[qs, ds, 3, pos_in_shard],
+                qlens_all[juni[sel]])
+            out_ed[sel] = e
+            gap_q[sel] = gq
+            gap_r[sel] = gr
+            fpos[sel] = fp + (x0_all[sel] if windowed else 0)
+            score[sel] = sc
+            _stat_add(stats, "merge_s", _time.perf_counter() - t2)
     # pod ordering identical to engine.rescore_winners
     if pod_order is not None:
         srt = pod_order

@@ -92,9 +92,14 @@ def test_2d_mesh_accel_production_helpers():
             pods = engine.rescore_winners(qd, rd, juni, refpos, eds,
                                           "BEST", sm, order)
         else:
+            # windowed sharded rescore (the production configuration;
+            # the full-width form is exercised by passing no win_cols
+            # in the 2x4 call below)
+            wc = sed.lookup_cols(juni, refpos, rd.tot_units) \
+                if n_shards == 4 else None
             pods = pmesh.rescore_winners_sharded(
                 qd, rd, juni, refpos, eds, "BEST", sm, n_shards, order,
-                q_shards=q_shards)
+                q_shards=q_shards, win_cols=wc)
         buf = io.StringIO()
         modes.report_best(pods, qd, rd, modes.B6Writer(buf))
         return buf.getvalue()
