@@ -126,11 +126,19 @@ def myers_cross_pallas(peq, tiles, W: int):
             pltpu.VMEM((QSUB, TLAN), jnp.int32),
             pltpu.VMEM((QSUB, TLAN), jnp.int32),
         ],
+        interpret=_interpret(),
     )(peq, tilesT)
     return out
 
 
-def _make_pair_kernel(W: int, Lp: int):
+def _make_pair_kernel(W: int, Lp: int, Lpw: int):
+    """Packed-word pair kernel: tiles arrive as [Lpw, 8, 128] uint32
+    words holding 8 nibble codes each (column j = word j>>3, nibble
+    j&7). One VMEM word load feeds EIGHT unrolled column steps, so the
+    tile-state traffic is 1/32 of the round-4 int32-column layout (4
+    bytes/column -> 0.5), and the XLA prologue transposes 1/8 of the
+    data. Updates past the true column count Lp are masked (the pack
+    pads Lp up to a multiple of 8)."""
     m_pad = W * 32
 
     def kernel(peq_ref, tilesT_ref, out_ref, vp, vn, sc, best, first,
@@ -143,27 +151,32 @@ def _make_pair_kernel(W: int, Lp: int):
         first[...] = jnp.zeros((QSUB, TLAN), jnp.int32)
         last[...] = jnp.zeros((QSUB, TLAN), jnp.int32)
 
-        def col(j, _):
-            code = tilesT_ref[0, pl.ds(j, 1), :, :].reshape(
-                QSUB, TLAN).astype(jnp.int32)
-            eq = []
-            for w in range(W):
-                v = [peq_ref[0, c * W + w] for c in range(16)]
-                for k in range(4):
-                    bit = ((code >> k) & 1).astype(bool)
-                    v = [jnp.where(bit, v[2 * t + 1], v[2 * t])
-                         for t in range(len(v) // 2)]
-                eq.append(v[0])
-            s = _myers_col(eq, vp, vn, sc, W)
-            b = best[...]
-            strict = s < b
-            upd = s <= b
-            best[...] = jnp.where(upd, s, b)
-            first[...] = jnp.where(strict, j + 1, first[...])
-            last[...] = jnp.where(upd, j + 1, last[...])
+        def word_step(wj, _):
+            word = tilesT_ref[0, pl.ds(wj, 1), :, :].reshape(
+                QSUB, TLAN)                              # [8,128] u32
+            for sub in range(8):
+                code = ((word >> jnp.uint32(4 * sub)) &
+                        jnp.uint32(15)).astype(jnp.int32)
+                eq = []
+                for w in range(W):
+                    v = [peq_ref[0, c * W + w] for c in range(16)]
+                    for k in range(4):
+                        bit = ((code >> k) & 1).astype(bool)
+                        v = [jnp.where(bit, v[2 * t + 1], v[2 * t])
+                             for t in range(len(v) // 2)]
+                    eq.append(v[0])
+                s = _myers_col(eq, vp, vn, sc, W)
+                j = wj * 8 + sub
+                valid = j < Lp
+                b = best[...]
+                strict = (s < b) & valid
+                upd = (s <= b) & valid
+                best[...] = jnp.where(upd, s, b)
+                first[...] = jnp.where(strict, j + 1, first[...])
+                last[...] = jnp.where(upd, j + 1, last[...])
             return 0
 
-        jax.lax.fori_loop(0, Lp, col, 0)
+        jax.lax.fori_loop(0, Lpw, word_step, 0)
         out_ref[0, 0] = best[...]
         out_ref[0, 1] = first[...]
         out_ref[0, 2] = last[...]
@@ -171,40 +184,68 @@ def _make_pair_kernel(W: int, Lp: int):
     return kernel
 
 
+def _interpret() -> bool:
+    """CPU interpret mode (tests only): bit-validates the Pallas path
+    without a TPU. Off in production (TPU compiles Mosaic)."""
+    import os
+    return os.environ.get("BURST_TPU_PALLAS_INTERPRET") == "1"
+
+
+def _words_from_packed(pk):
+    """[B, Lpb] nibble-packed u8 rows -> [B, ceil(Lpb/4)] u32 words
+    (little-endian bytes, so column j lives at word j>>3, bits
+    4*(j&7))."""
+    B, Lpb = pk.shape
+    pad = (-Lpb) % 4
+    if pad:
+        pk = jnp.pad(pk, ((0, 0), (0, pad)))
+    g = pk.reshape(B, -1, 4).astype(jnp.uint32)
+    return (g[:, :, 0] | (g[:, :, 1] << 8) | (g[:, :, 2] << 16)
+            | (g[:, :, 3] << 24))
+
+
 @functools.partial(jax.jit, static_argnames=("W",))
 def myers_pairs_pallas_packed(peq_all, tiles_packed, pidx, tidx,
                               W: int):
-    """myers_pairs_pallas over a nibble-packed tile store: the XLA
-    prologue gathers packed rows (half the HBM read) and unpacks them
-    before the [Lp, 8, 128] transpose; the kernel is unchanged."""
-    from .myers import unpack_nibbles
-    tiles = unpack_nibbles(jnp.take(tiles_packed, tidx, axis=0))
-    return _pairs_from_gathered(peq_all, tiles, pidx, W)
+    """myers_pairs_pallas over the nibble-packed tile store: gathered
+    packed rows go STRAIGHT into u32 words for the kernel -- no unpack
+    to one-byte codes, so the XLA prologue transposes 1/8 of the
+    round-4 layout's data."""
+    pk = jnp.take(tiles_packed, tidx, axis=0)              # [B, Lpb]
+    words = _words_from_packed(pk)
+    # the packed store scans 2*Lpb columns (trailing pad nibble for
+    # odd logical widths), matching the round-4 unpacked behavior
+    return _pairs_from_words(peq_all, words, pidx, W, 2 * pk.shape[1])
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
 def myers_pairs_pallas(peq_all, tiles_all, pidx, tidx, W: int):
     """Packed [3, B] (ed, first, last) for B gathered pairs.
 
-    B must be a multiple of 1024. Gathers and the [Lp, 8, 128]
-    transposes run as XLA ops feeding the kernel."""
+    B must be a multiple of 1024. Gathers, nibble packing, and the
+    [Lpw, 8, 128] word transposes run as XLA ops feeding the kernel."""
     tiles = jnp.take(tiles_all, tidx, axis=0)              # [B, Lp]
-    return _pairs_from_gathered(peq_all, tiles, pidx, W)
-
-
-def _pairs_from_gathered(peq_all, tiles, pidx, W: int):
-    B = pidx.shape[0]
     Lp = tiles.shape[1]
+    if Lp % 2:
+        tiles = jnp.pad(tiles, ((0, 0), (0, 1)))
+    pk = tiles[:, 0::2] | (tiles[:, 1::2] << jnp.uint8(4))
+    words = _words_from_packed(pk)
+    return _pairs_from_words(peq_all, words, pidx, W, Lp)
+
+
+def _pairs_from_words(peq_all, words, pidx, W: int, Lp: int):
+    B = pidx.shape[0]
+    Lpw = words.shape[1]
     peq = jnp.take(peq_all, pidx, axis=0)                  # [B,16,W]
     peq_r = jnp.transpose(peq.reshape(B // TLAN, TLAN, 16 * W),
                           (0, 2, 1))                       # [r,16W,128]
     peq_r = peq_r.reshape(B // (QSUB * TLAN), QSUB, 16 * W, TLAN)
     peq_r = jnp.transpose(peq_r, (0, 2, 1, 3))             # [g,16W,8,128]
-    t_r = jnp.transpose(tiles.reshape(B // TLAN, TLAN, Lp), (0, 2, 1))
-    t_r = t_r.reshape(B // (QSUB * TLAN), QSUB, Lp, TLAN)
-    t_r = jnp.transpose(t_r, (0, 2, 1, 3)).astype(jnp.int32)  # [g,Lp,8,128]
+    t_r = jnp.transpose(words.reshape(B // TLAN, TLAN, Lpw), (0, 2, 1))
+    t_r = t_r.reshape(B // (QSUB * TLAN), QSUB, Lpw, TLAN)
+    t_r = jnp.transpose(t_r, (0, 2, 1, 3))                 # [g,Lpw,8,128]
     grid = (B // (QSUB * TLAN),)
-    kern = _make_pair_kernel(W, Lp)
+    kern = _make_pair_kernel(W, Lp, Lpw)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -212,7 +253,7 @@ def _pairs_from_gathered(peq_all, tiles, pidx, W: int):
             pl.BlockSpec((1, 16 * W, QSUB, TLAN),
                          lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, QSUB, TLAN), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((1, Lpw, QSUB, TLAN), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, QSUB, TLAN),
@@ -228,6 +269,7 @@ def _pairs_from_gathered(peq_all, tiles, pidx, W: int):
             pltpu.VMEM((QSUB, TLAN), jnp.int32),
             pltpu.VMEM((QSUB, TLAN), jnp.int32),
         ],
+        interpret=_interpret(),
     )(peq_r, t_r)
     # [g, 3, 8, 128] -> [3, B] in pair order (b = g*1024 + q*128 + l)
     out = jnp.transpose(out, (1, 0, 2, 3)).reshape(3, B // TLAN, TLAN)
