@@ -79,6 +79,33 @@ def main() -> int:
         print(f"pairs-packed B{B} Lp{Lp} W{W}: "
               f"{'OK' if okp else 'FAIL'}")
 
+    # ---- kernel throughput (GCUPS = DP lane-cells/s) ----
+    # VERDICT-r4 item 6's yardstick: the packed-word kernel vs the r4
+    # int32-column layout measured ~1 GCUPS; target >= 5x.
+    import time
+    B, NT, Lp, W = 8192, 1024, 512, 4
+    NQ = 4096
+    qs = rng.integers(1, 16, size=(NQ, W * 32)).astype(np.uint8)
+    qlens = rng.integers(16, W * 32 + 1, size=NQ).astype(np.int64)
+    peq = jnp.asarray(myers.build_peq(qs, qlens, W, smat))
+    tiles = np.zeros((NT, Lp), np.uint8)
+    tiles[:, :Lp - 32 * W] = rng.integers(
+        1, 16, size=(NT, Lp - 32 * W))
+    tiles_d = jnp.asarray(tiles)
+    pidx = jnp.asarray(rng.integers(0, NQ, B).astype(np.int32))
+    tidx = jnp.asarray(rng.integers(0, NT, B).astype(np.int32))
+    out = myers_pairs_pallas(peq, tiles_d, pidx, tidx, W)
+    jax.block_until_ready(out)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = myers_pairs_pallas(peq, tiles_d, pidx, tidx, W)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    cells = B * (W * 32) * Lp
+    print(f"pairs kernel: B{B} Lp{Lp} W{W}: {dt*1e3:.2f} ms/call, "
+          f"{cells/dt/1e9:.0f} GCUPS")
+
     print("ALL OK" if not fails else f"{fails} FAILURES")
     return 1 if fails else 0
 
