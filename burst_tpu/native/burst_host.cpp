@@ -1086,7 +1086,7 @@ static void myers_pairs_avx16(
     const int32_t* base, long B, long b0, long W, long Lp,
     int32_t* out)
 {
-    __m512i VP[32], VN[32], Ph[32], Mh[32], Xv[32];
+    __m512i VP[32], VN[32];
     const __m512i ones = _mm512_set1_epi32(-1);
     for (long w = 0; w < W; ++w) {
         VP[w] = ones;
@@ -1103,43 +1103,50 @@ static void myers_pairs_avx16(
         __m512i code = _mm512_loadu_si512(codes + j * 16);
         __m512i eqix = _mm512_add_epi32(
             vbase, _mm512_mullo_epi32(code, vW));
+        // single fused pass over words: the add-carry chain (Myers
+        // horizontal deltas) and the shift-carry chain (VP/VN update)
+        // both run ascending w, so Ph/Mh/Xv never need to be
+        // materialized as arrays -- at W=10 (292bp reads) the
+        // two-loop form spilled 30 zmm temporaries per column
         __mmask16 carry = 0;
+        __m512i pc = _mm512_setzero_si512();
+        __m512i mc = _mm512_setzero_si512();
+        __m512i ph_top = _mm512_setzero_si512();
+        __m512i mh_top = _mm512_setzero_si512();
         for (long w = 0; w < W; ++w) {
             __m512i Eq = _mm512_i32gather_epi32(
                 _mm512_add_epi32(eqix, _mm512_set1_epi32((int)w)),
                 (const int*)peq_all, 4);
-            Xv[w] = _mm512_or_si512(Eq, VN[w]);
-            __m512i a = _mm512_and_si512(Eq, VP[w]);
-            __m512i s1 = _mm512_add_epi32(a, VP[w]);
+            __m512i vp = VP[w], vn = VN[w];
+            __m512i Xv = _mm512_or_si512(Eq, vn);
+            __m512i a = _mm512_and_si512(Eq, vp);
+            __m512i s1 = _mm512_add_epi32(a, vp);
             __mmask16 c1 = _mm512_cmplt_epu32_mask(s1, a);
             __m512i s2 = _mm512_mask_add_epi32(s1, carry, s1, one);
             __mmask16 c2 = _mm512_mask_cmplt_epu32_mask(carry, s2, s1);
             __m512i Xh = _mm512_or_si512(
-                _mm512_xor_si512(s2, VP[w]), Eq);
-            Ph[w] = _mm512_or_si512(VN[w], _mm512_andnot_si512(
-                _mm512_or_si512(Xh, VP[w]), ones));
-            Mh[w] = _mm512_and_si512(VP[w], Xh);
+                _mm512_xor_si512(s2, vp), Eq);
+            __m512i Ph = _mm512_or_si512(vn, _mm512_andnot_si512(
+                _mm512_or_si512(Xh, vp), ones));
+            __m512i Mh = _mm512_and_si512(vp, Xh);
             carry = c1 | c2;
+            __m512i phs = _mm512_or_si512(_mm512_slli_epi32(Ph, 1), pc);
+            __m512i mhs = _mm512_or_si512(_mm512_slli_epi32(Mh, 1), mc);
+            pc = _mm512_srli_epi32(Ph, 31);
+            mc = _mm512_srli_epi32(Mh, 31);
+            VP[w] = _mm512_or_si512(mhs, _mm512_andnot_si512(
+                _mm512_or_si512(Xv, phs), ones));
+            VN[w] = _mm512_and_si512(phs, Xv);
+            if (w == W - 1) { ph_top = pc; mh_top = mc; }
         }
-        score = _mm512_add_epi32(score, _mm512_srli_epi32(Ph[W-1], 31));
-        score = _mm512_sub_epi32(score, _mm512_srli_epi32(Mh[W-1], 31));
+        score = _mm512_add_epi32(score, ph_top);
+        score = _mm512_sub_epi32(score, mh_top);
         __m512i jj = _mm512_set1_epi32((int)(j + 1));
         __mmask16 strict = _mm512_cmplt_epi32_mask(score, best);
         __mmask16 upd = _mm512_cmple_epi32_mask(score, best);
         first = _mm512_mask_mov_epi32(first, strict, jj);
         last = _mm512_mask_mov_epi32(last, upd, jj);
         best = _mm512_mask_mov_epi32(best, upd, score);
-        __m512i pc = _mm512_setzero_si512();
-        __m512i mc = _mm512_setzero_si512();
-        for (long w = 0; w < W; ++w) {
-            __m512i phs = _mm512_or_si512(_mm512_slli_epi32(Ph[w],1), pc);
-            __m512i mhs = _mm512_or_si512(_mm512_slli_epi32(Mh[w],1), mc);
-            pc = _mm512_srli_epi32(Ph[w], 31);
-            mc = _mm512_srli_epi32(Mh[w], 31);
-            VP[w] = _mm512_or_si512(mhs, _mm512_andnot_si512(
-                _mm512_or_si512(Xv[w], phs), ones));
-            VN[w] = _mm512_and_si512(phs, Xv[w]);
-        }
     }
     alignas(64) int32_t tb[16], tf[16], tl[16];
     _mm512_store_si512(tb, best);
