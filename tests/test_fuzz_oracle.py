@@ -154,14 +154,20 @@ def _run_batch(lo, hi, tmpdir):
     wrapper below. Prints FUZZ_BATCH_OK <skipped> on success."""
     per = hi - lo
     skipped = 0
+    import shutil
     from pathlib import Path
     for ci in range(lo, hi):
         rng = np.random.default_rng(SEED + ci)
         os.environ["BURST_TPU_SCOUR_N"] = "12"
+        cd = Path(tmpdir) / f"c{ci}"
+        cd.mkdir(exist_ok=True)
         try:
-            cfg, status = _case(rng, Path(tmpdir), ci)
+            cfg, status = _case(rng, cd, ci)
         finally:
             os.environ.pop("BURST_TPU_SCOUR_N", None)
+            # accel cases leave two 65 MB .acx tables (the dense 4^12
+            # counts) each -- 1000 cases would eat ~66 GB of /tmp
+            shutil.rmtree(cd, ignore_errors=True)
         assert status in ("ok", "oracle-build-crash",
                           "oracle-search-crash"), \
             f"case {ci} seed {SEED + ci}: {status} ({cfg})"
