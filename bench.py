@@ -352,6 +352,17 @@ def main():
     from burst_tpu.serving import Aligner
 
     deadline = _deadline()
+    # Connect to the device NOW (guarded daemon thread) and keep the
+    # session warm: a first-ever client init issued ~25 min into the
+    # child has been observed to block forever on the tunneled rig
+    # while fresh processes connect instantly. The early connect rides
+    # the same healthy window the supervisor launched us in, and the
+    # heartbeat keeps the proxy session from idling out before the
+    # device stage needs it.
+    ka = None
+    if not (os.environ.get("BENCH_FORCE_HOST")
+            or os.environ.get("BURST_TPU_HOST") == "1"):
+        ka = devtime.keepalive()
     t0 = time.perf_counter()
     rheads, refs, qheads, reads = make_workload()
     db_bp = sum(len(r) for r in refs)
@@ -488,11 +499,21 @@ def main():
               "stands", file=sys.stderr)
         return 0
     os.environ["BURST_TPU_HOST"] = "0"
-    _wait_for_device(deadline)
-    # in-process backend init + first compile over the tunnel can
-    # take minutes even in a healthy window (30-50s RTTs); a tight
-    # probe here would needlessly condemn the run to the host path
-    devtime.probe(float(os.environ.get("BENCH_PROBE_S", "300")))
+    print(f"[bench] device stage start (keepalive "
+          f"{None if ka is None else ka['healthy']}, "
+          f"{0 if ka is None else ka['beats']} beats), budget "
+          f"{deadline-time.time():.0f}s left", file=sys.stderr,
+          flush=True)
+    if ka is not None and ka["healthy"] and devtime.device_ok():
+        # client has been warm since process start and is heartbeating:
+        # no cold-connect gamble, no probe needed
+        pass
+    else:
+        _wait_for_device(deadline)
+        # in-process backend init + first compile over the tunnel can
+        # take minutes even in a healthy window (30-50s RTTs); a tight
+        # probe here would needlessly condemn the run to the host path
+        devtime.probe(float(os.environ.get("BENCH_PROBE_S", "300")))
     if not devtime.device_ok():
         print("[bench] device unhealthy; floor stands", file=sys.stderr)
         return 0
@@ -622,7 +643,11 @@ def _supervise():
     except OSError:
         pass
     env = dict(os.environ, BENCH_CHILD="1",
-               BENCH_DEADLINE_AT=repr(deadline))
+               BENCH_DEADLINE_AT=repr(deadline),
+               # upload-progress lines: every chunked device-state
+               # slice prints, so a wedge is attributable to a specific
+               # transfer offset instead of 420s of silence
+               BURST_TPU_INIT_LOG="1")
 
     def _finish(rc):
         # The driver takes the LAST stdout line: make it the best

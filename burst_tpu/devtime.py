@@ -45,10 +45,60 @@ import time
 
 _acc = None
 _DEAD = False
+_KEEPALIVE = None
 
 
 class DeviceStall(RuntimeError):
     """A device fetch exceeded BURST_TPU_FETCH_TIMEOUT_S."""
+
+
+def keepalive(interval_s: float | None = None) -> dict:
+    """Initialize the device client NOW on a daemon thread and touch
+    the device periodically so the session never goes idle.
+
+    Rationale: a long-lived process that does hours of host work and
+    only then creates its first device client has been observed to
+    block forever inside that late init on the tunneled rig, while a
+    fresh process connects instantly -- the proxy appears to time out
+    or mis-handle idle/late sessions. Connecting at process start
+    (while the tunnel is demonstrably healthy) and issuing one tiny
+    device_get every `interval_s` keeps the session warm, so the
+    eventual device phase finds a live client instead of gambling on a
+    cold connect. The thread is a daemon: if the tunnel is dead the
+    worker blocks harmlessly and the host path proceeds unaffected.
+
+    Returns the shared state dict: state['healthy'] is None until the
+    first round trip resolves, then True/False; state['stop']=True
+    ends the loop. Idempotent -- the second call returns the first
+    state."""
+    global _KEEPALIVE
+    if _KEEPALIVE is not None:
+        return _KEEPALIVE
+    if interval_s is None:
+        interval_s = float(os.environ.get("BURST_TPU_KEEPALIVE_S", "30"))
+    state = {"healthy": None, "stop": False, "beats": 0}
+    _KEEPALIVE = state
+
+    def _worker():
+        try:
+            import jax
+            import jax.numpy as jnp
+            t0 = time.perf_counter()
+            jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+            state["healthy"] = True
+            print(f"[burst_tpu] device client warm "
+                  f"({time.perf_counter() - t0:.1f}s)",
+                  file=sys.stderr, flush=True)
+            while not state["stop"] and not _DEAD:
+                time.sleep(interval_s)
+                jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+                state["beats"] += 1
+        except BaseException:
+            state["healthy"] = False
+
+    threading.Thread(target=_worker, daemon=True,
+                     name="burst-tpu-keepalive").start()
+    return state
 
 
 def device_ok() -> bool:
