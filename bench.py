@@ -642,12 +642,19 @@ def _supervise():
         os.unlink(_side_path())       # fresh record for this run
     except OSError:
         pass
+    hb_file = _side_path() + ".hb"
     env = dict(os.environ, BENCH_CHILD="1",
                BENCH_DEADLINE_AT=repr(deadline),
                # upload-progress lines: every chunked device-state
                # slice prints, so a wedge is attributable to a specific
                # transfer offset instead of 420s of silence
-               BURST_TPU_INIT_LOG="1")
+               BURST_TPU_INIT_LOG="1",
+               # the keepalive thread touches this after every
+               # successful device round trip: a child blocked in a
+               # minutes-long REMOTE compile shows no local CPU, no
+               # cache growth and no bytes, but its heartbeats prove
+               # the tunnel is alive -- that is not a wedge
+               BURST_TPU_HEARTBEAT_FILE=hb_file)
 
     def _finish(rc):
         # The driver takes the LAST stdout line: make it the best
@@ -690,6 +697,11 @@ def _supervise():
             nb = _net_bytes()
             if nb > last_nb + (1 << 21):   # >2MB moved: upload alive
                 last_nb, last_adv = nb, now
+            try:                       # device heartbeat round trips
+                if os.path.getmtime(hb_file) > last_adv:
+                    last_adv = os.path.getmtime(hb_file)
+            except OSError:
+                pass
             if now > deadline or now - last_adv > wedge_s:
                 wedged = now - last_adv > wedge_s and now <= deadline
                 if wedged:

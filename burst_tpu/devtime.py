@@ -89,10 +89,22 @@ def keepalive(interval_s: float | None = None) -> dict:
             print(f"[burst_tpu] device client warm "
                   f"({time.perf_counter() - t0:.1f}s)",
                   file=sys.stderr, flush=True)
+            hb = os.environ.get("BURST_TPU_HEARTBEAT_FILE")
             while not state["stop"] and not _DEAD:
                 time.sleep(interval_s)
                 jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
                 state["beats"] += 1
+                if hb:
+                    # a completed round trip proves the tunnel is alive
+                    # even when the main thread sits in a minutes-long
+                    # remote compile with zero local CPU/net movement;
+                    # supervisors watch this file's mtime as liveness
+                    try:
+                        with open(hb, "a"):
+                            pass
+                        os.utime(hb, None)
+                    except OSError:
+                        pass
         except BaseException:
             state["healthy"] = False
 
