@@ -48,6 +48,7 @@ is cached on disk so a retry (or a second driver invocation) skips it.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -521,51 +522,86 @@ def main():
     def _path():
         return "device" if devtime.device_ok() else "host"
 
-    # ONE warm-up pass: compiles all kernel shapes, uploads device-side
-    # tables, faults in allocator pages (persisted .edx/.acx +
-    # steady-state serving is the production mode)
-    t0 = time.perf_counter()
-    n_rows = run_pipeline(qheads, reads, al)
-    print(f"[bench] warmup {time.perf_counter()-t0:.0f}s ({_path()}), "
-          f"{n_rows} b6 rows, {n_pairs/N_READS:.1f} pairs/read, "
-          f"budget {deadline-time.time():.0f}s left", file=sys.stderr)
+    def _device_stage():
+        # ONE warm-up pass: compiles all kernel shapes, uploads
+        # device-side tables, faults in allocator pages (persisted
+        # .edx/.acx + steady-state serving is the production mode)
+        t0 = time.perf_counter()
+        n_rows = run_pipeline(qheads, reads, al)
+        print(f"[bench] warmup {time.perf_counter()-t0:.0f}s "
+              f"({_path()}), {n_rows} b6 rows, "
+              f"{n_pairs/N_READS:.1f} pairs/read, budget "
+              f"{deadline-time.time():.0f}s left", file=sys.stderr,
+              flush=True)
 
-    # measured device passes; the best wall time wins. A pipelined
-    # 4-batch stream (one batch's host work overlaps another's device
-    # scans) models steady-state serving and is usually the fastest.
-    t0 = time.perf_counter()
-    with devtime.track() as acc_t:
-        run_pipeline(qheads, reads, al)
-    dt1 = time.perf_counter() - t0
-    device_s = acc_t["s"]
-    mfu = cells * OPS_PER_CELL / max(device_s, 1e-9) / PEAK_U32_OPS
-    if not devtime.device_ok():
-        device_s, mfu = 0.0, 0.0
-    print(f"[bench] pass1 {dt1:.1f}s wall ({_path()}), "
-          f"{device_s:.1f}s device-blocked over {acc_t['n']} fetches",
-          file=sys.stderr)
-    best = dt1
-    if devtime.device_ok() and deadline - time.time() > 4 * dt1 + 120:
+        # measured device passes; the best wall time wins. A pipelined
+        # 4-batch stream (one batch's host work overlaps another's
+        # device scans) models steady-state serving and is usually the
+        # fastest.
         t0 = time.perf_counter()
-        for _ in al.align_stream([(qheads, reads)] * 4):
-            pass
-        best = min(best, (time.perf_counter() - t0) / 4)
-    while devtime.device_ok() and deadline - time.time() > best + 90:
-        t0 = time.perf_counter()
-        run_pipeline(qheads, reads, al)
-        dt = time.perf_counter() - t0
-        if dt >= best * 0.95:
+        with devtime.track() as acc_t:
+            run_pipeline(qheads, reads, al)
+        dt1 = time.perf_counter() - t0
+        device_s = acc_t["s"]
+        mfu = cells * OPS_PER_CELL / max(device_s, 1e-9) / PEAK_U32_OPS
+        if not devtime.device_ok():
+            device_s, mfu = 0.0, 0.0
+        print(f"[bench] pass1 {dt1:.1f}s wall ({_path()}), "
+              f"{device_s:.1f}s device-blocked over {acc_t['n']} "
+              f"fetches", file=sys.stderr, flush=True)
+        best = dt1
+        if devtime.device_ok() and deadline - time.time() > 4 * dt1 + 120:
+            t0 = time.perf_counter()
+            for _ in al.align_stream([(qheads, reads)] * 4):
+                pass
+            best = min(best, (time.perf_counter() - t0) / 4)
+        while devtime.device_ok() and deadline - time.time() > best + 90:
+            t0 = time.perf_counter()
+            run_pipeline(qheads, reads, al)
+            dt = time.perf_counter() - t0
+            if dt >= best * 0.95:
+                best = min(best, dt)
+                break                # stopped improving
             best = min(best, dt)
-            break                # stopped improving
-        best = min(best, dt)
-    reads_per_sec = N_READS / best
-    if reads_per_sec > floor_rps and devtime.device_ok():
-        _emit(reads_per_sec, db_bp, n_pairs, cells / best / 1e9,
-              n_rows, device_s, mfu, path=_path())
-    else:
-        print(f"[bench] device path {reads_per_sec:.0f} reads/s did "
-              f"not beat the host floor {floor_rps:.0f}; floor stands",
-              file=sys.stderr)
+        reads_per_sec = N_READS / best
+        if reads_per_sec > floor_rps and devtime.device_ok():
+            _emit(reads_per_sec, db_bp, n_pairs, cells / best / 1e9,
+                  n_rows, device_s, mfu, path=_path())
+        else:
+            print(f"[bench] device path {reads_per_sec:.0f} reads/s "
+                  f"did not beat the host floor {floor_rps:.0f}; "
+                  f"floor stands", file=sys.stderr, flush=True)
+
+    # TIME BOX: uploads, remote compiles and dispatches are not
+    # individually guarded (only result fetches are), and a tunnel
+    # window dying mid-compile leaves an unguarded call blocked
+    # forever. Running the stage on a daemon thread and joining with a
+    # budget means the child always finishes on its own: the floor (and
+    # amplicon) metrics are already on the record, so a hung device
+    # stage costs only this box, never the run.
+    box_s = min(deadline - time.time() - 60,
+                float(os.environ.get("BENCH_DEVICE_BOX_S", "900")))
+    th = threading.Thread(target=_device_stage, daemon=True,
+                          name="bench-device-stage")
+    th.start()
+    t_box = time.time()
+    hb = os.environ.get("BURST_TPU_HEARTBEAT_FILE")
+    while th.is_alive() and time.time() - t_box < max(box_s, 1.0):
+        th.join(15.0)
+        if hb:
+            # the main thread is alive and managing its own budget --
+            # the supervisor must not wedge-kill a child that will
+            # exit cleanly on its own when the box expires
+            try:
+                with open(hb, "a"):
+                    pass
+                os.utime(hb, None)
+            except OSError:
+                pass
+    if th.is_alive():
+        print(f"[bench] device stage exceeded its {box_s:.0f}s box "
+              f"(tunnel stall mid-upload/compile); floor stands",
+              file=sys.stderr, flush=True)
     return 0
 
 
