@@ -580,7 +580,7 @@ def main():
     # amplicon) metrics are already on the record, so a hung device
     # stage costs only this box, never the run.
     box_s = min(deadline - time.time() - 60,
-                float(os.environ.get("BENCH_DEVICE_BOX_S", "900")))
+                float(os.environ.get("BENCH_DEVICE_BOX_S", "600")))
     th = threading.Thread(target=_device_stage, daemon=True,
                           name="bench-device-stage")
     th.start()
@@ -705,12 +705,13 @@ def _supervise():
     rc, i = 1, 0
     while True:
         i += 1
-        # attempt 2 retries the same (fused) configuration -- a wedge
-        # is usually one dropped tunnel stream, and the stage caches
-        # make the retry cheap; only then downgrade
-        if i == 3:
+        # attempt 2 downgrades to host scour + device align: its
+        # device state is ~1/3 the fused path's (tiles only, no
+        # postings tables), so it fits through tunnel windows that
+        # cannot carry the full fused upload; attempt 3+ is all-host
+        if i == 2:
             env["BURST_TPU_DEV_SCOUR"] = "0"
-        elif i >= 4:
+        elif i >= 3:
             env["BENCH_FORCE_HOST"] = "1"
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env)
@@ -756,6 +757,22 @@ def _supervise():
                 rc = -1
                 break
         if rc == 0:
+            # clean exit without a device-path line means the device
+            # stage timed out its box (or lost to the floor): escalate
+            # once to the lighter host-scour+device-align config while
+            # the budget allows -- its upload is ~1/3 the fused one
+            has_dev = False
+            try:
+                with open(_side_path()) as f:
+                    has_dev = '"path": "device"' in f.read()
+            except OSError:
+                pass
+            if (not has_dev and i < 2
+                    and deadline - time.time() > 480):
+                print(f"[bench] attempt {i} landed no device metric; "
+                      "escalating to host-scour + device-align",
+                      file=sys.stderr, flush=True)
+                continue
             return _finish(0)
         if rc == -11:
             # segfault: the usual cause is a compile-cache entry

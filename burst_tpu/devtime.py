@@ -250,23 +250,60 @@ def put_chunked(arr, max_bytes: int | None = None):
         return jax.lax.dynamic_update_slice(
             buf, chunk, (i0,) + (0,) * (arr.ndim - 1))
 
-    buf = jnp.zeros(arr.shape, arr.dtype)
     t0 = time.perf_counter()
-    for i0 in range(0, arr.shape[0], rows):
-        if i0 + rows > arr.shape[0]:
-            # ragged tail: re-slice a full window ending at the last
-            # row (re-sends a few rows; keeps one compiled shape)
-            i0 = arr.shape[0] - rows
-        chunk = jnp.asarray(arr[i0: i0 + rows])
-        buf = _upd(buf, chunk, i0)
-        if log:
-            done = min(i0 + rows, arr.shape[0])
-            print(f"[burst_tpu] device upload {done}/{arr.shape[0]} "
-                  f"rows ({done / arr.shape[0]:.0%}, "
-                  f"{time.perf_counter() - t0:.1f}s)",
-                  file=sys.stderr, flush=True)
-    buf.block_until_ready()
-    return buf
+    state = {"done": 0, "out": None, "err": None}
+
+    def _run():
+        try:
+            buf = jnp.zeros(arr.shape, arr.dtype)
+            for i0 in range(0, arr.shape[0], rows):
+                if i0 + rows > arr.shape[0]:
+                    # ragged tail: re-slice a full window ending at the
+                    # last row (re-sends a few rows; keeps one
+                    # compiled shape)
+                    i0 = arr.shape[0] - rows
+                chunk = jnp.asarray(arr[i0: i0 + rows])
+                buf = _upd(buf, chunk, i0)
+                done = min(i0 + rows, arr.shape[0])
+                state["done"] = done
+                if log:
+                    print(f"[burst_tpu] device upload "
+                          f"{done}/{arr.shape[0]} rows "
+                          f"({done / arr.shape[0]:.0%}, "
+                          f"{time.perf_counter() - t0:.1f}s)",
+                          file=sys.stderr, flush=True)
+            buf.block_until_ready()
+            state["out"] = buf
+        except BaseException as e:  # re-raised on the caller below
+            state["err"] = e
+
+    stall_s = float(os.environ.get("BURST_TPU_PUT_STALL_S", "150"))
+    if stall_s <= 0:
+        _run()
+        if state["err"] is not None:
+            raise state["err"]
+        return state["out"]
+    # progress watchdog: the transfer runs on a daemon worker and the
+    # caller watches the row counter -- a tunnel window dying
+    # mid-stream (observed: ~350 MB in, then silence) otherwise leaves
+    # an unguarded jnp.asarray blocked forever. No per-chunk sync is
+    # added, so healthy-link pipelining is untouched.
+    th = threading.Thread(target=_run, daemon=True,
+                          name="burst-tpu-upload")
+    th.start()
+    last, t_adv = -1, time.time()
+    while th.is_alive():
+        th.join(5.0)
+        if state["done"] != last:
+            last, t_adv = state["done"], time.time()
+        elif time.time() - t_adv > stall_s:
+            mark_dead(f"device upload stalled at row {last}/"
+                      f"{arr.shape[0]} for {stall_s:.0f}s")
+            raise DeviceStall(
+                f"upload stalled at {last}/{arr.shape[0]} rows")
+    if state["err"] is not None:
+        raise state["err"]
+    return state["out"]
 
 
 @contextlib.contextmanager
